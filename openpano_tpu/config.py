@@ -1,0 +1,145 @@
+"""Typed configuration for the TPU-native panorama engine.
+
+Mirrors the knob surface of the reference engine's ``config.cfg``
+(reference: lib/config.hh:24-86, src/config.cfg:1-69) so tuned behavior
+carries over, plus TPU-specific capacity knobs (fixed-shape padding caps)
+that have no reference analog.  The same whitespace key-value file format
+is accepted by :func:`Config.from_file` (reference: lib/config.cc:13-35).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class Config:
+    # ---- modes (reference: config.cfg:1-5); mutually exclusive ----
+    CYLINDER: bool = False
+    ESTIMATE_CAMERA: bool = True
+    TRANS: bool = False
+
+    ORDERED_INPUT: bool = False
+    CROP: bool = True
+    MAX_OUTPUT_SIZE: int = 8000
+    LAZY_READ: bool = True  # accepted for config-file parity; memory strategy differs on TPU
+
+    FOCAL_LENGTH: float = 37.0  # 35mm-equivalent focal, CYLINDER mode
+
+    # ---- keypoint / scale-space (reference: config.cfg:17-37) ----
+    SIFT_WORKING_SIZE: int = 800
+    NUM_OCTAVE: int = 4
+    NUM_SCALE: int = 7
+    SCALE_FACTOR: float = 1.4142135623
+    GAUSS_SIGMA: float = 1.4142135623
+    GAUSS_WINDOW_FACTOR: int = 6
+    CONTRAST_THRES: float = 4e-2
+    JUDGE_EXTREMA_DIFF_THRES: float = 2e-3
+    EDGE_RATIO: float = 6.0
+    PRE_COLOR_THRES: float = 5e-2
+    CALC_OFFSET_DEPTH: int = 4
+    OFFSET_THRES: float = 0.5
+
+    # ---- descriptor & matching (reference: config.cfg:40-56) ----
+    ORI_RADIUS: float = 4.5
+    ORI_HIST_SMOOTH_COUNT: int = 2
+    DESC_HIST_SCALE_FACTOR: float = 3.0
+    DESC_INT_FACTOR: float = 512.0
+    MATCH_REJECT_NEXT_RATIO: float = 0.8
+    RANSAC_ITERATIONS: int = 1500
+    RANSAC_INLIER_THRES: float = 3.5
+    INLIER_IN_MATCH_RATIO: float = 0.1
+    INLIER_IN_POINTS_RATIO: float = 0.04
+
+    # ---- optimization (reference: config.cfg:59-66) ----
+    STRAIGHTEN: bool = True
+    SLOPE_PLAIN: float = 8e-3
+    LM_LAMBDA: float = 5.0
+    MULTIPASS_BA: int = 1
+
+    # ---- blending (reference: config.cfg:69) ----
+    MULTIBAND: int = 0
+
+    # ---- compile-time constants of the reference (lib/config.hh:72-85) ----
+    ORI_WINDOW_FACTOR: float = 1.5
+    ORI_HIST_BIN_NUM: int = 36
+    ORI_HIST_PEAK_RATIO: float = 0.8
+    DESC_HIST_WIDTH: int = 4
+    DESC_HIST_BIN_NUM: int = 8
+
+    # ---- TPU-native capacity knobs (no reference analog): fixed-shape caps ----
+    # Per-octave cap on raw extrema candidates entering sub-pixel refinement.
+    MAX_CAND_PER_OCTAVE: int = 4096
+    # Per-octave cap on refined keypoints (before orientation duplication).
+    MAX_KP_PER_OCTAVE: int = 2048
+    # Max orientations emitted per keypoint (reference emits all peaks >=
+    # 0.8*max; >3 peaks is vanishingly rare).
+    MAX_ORI_PER_KP: int = 3
+    # Per-octave cap on oriented/described keypoints.
+    MAX_DESC_PER_OCTAVE: int = 2048
+    # Final cap on keypoints per image (compacted across octaves).
+    MAX_KP_PER_IMAGE: int = 4096
+    # Cap on (ratio+mutual tested) matches kept per image pair.
+    MAX_MATCHES_PER_PAIR: int = 1024
+    # Grid resolution for the overlap-area estimate (replaces the reference's
+    # sampled convex hull + shoelace area, transform_estimate.cc:204-208).
+    OVERLAP_AREA_GRID: int = 64
+    # RANSAC hypothesis batch is vmapped; dtype for the DLT solves.
+    RANSAC_DTYPE: str = "float32"
+    BA_DTYPE: str = "float64"
+
+    @property
+    def DESC_LEN(self) -> int:
+        return self.DESC_HIST_WIDTH * self.DESC_HIST_WIDTH * self.DESC_HIST_BIN_NUM
+
+    def validate(self) -> "Config":
+        if int(self.CYLINDER) + int(self.ESTIMATE_CAMERA) + int(self.TRANS) > 1:
+            raise ValueError("CYLINDER/ESTIMATE_CAMERA/TRANS are mutually exclusive")
+        if self.CYLINDER and not self.ORDERED_INPUT:
+            raise ValueError("CYLINDER mode requires ORDERED_INPUT")
+        return self
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    @classmethod
+    def from_file(cls, path: str, **overrides) -> "Config":
+        """Parse the reference's config file format: whitespace-separated
+        key value pairs, '#' comments, every value numeric
+        (reference: lib/config.cc:13-29)."""
+        values = {}
+        field_map = {f.name: f for f in dataclasses.fields(cls)}
+        with open(path) as f:
+            for line in f:
+                line = line.split("#", 1)[0].strip()
+                if not line:
+                    continue
+                parts = line.split()
+                if len(parts) < 2:
+                    continue
+                key, val = parts[0], float(parts[1])
+                if key not in field_map:
+                    continue  # unknown knobs ignored (forward compat)
+                ftype = field_map[key].type
+                if ftype in ("bool", bool):
+                    values[key] = bool(val)
+                elif ftype in ("int", int):
+                    values[key] = int(val)
+                else:
+                    values[key] = float(val)
+        values.update(overrides)
+        return cls(**values).validate()
+
+
+DEFAULT = Config()
+
+
+def gauss_window_radius(sigma: float, window_factor: int) -> int:
+    """Kernel half-width for a given sigma; the full width is forced odd
+    (reference: feature/gaussian.cc:22-24)."""
+    kw = int(math.ceil(0.3 * (sigma / 2.0 - 1.0) + 0.8) * window_factor)
+    if kw % 2 == 0:
+        kw += 1
+    return kw // 2

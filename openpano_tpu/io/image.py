@@ -1,0 +1,37 @@
+"""Host-side image IO.
+
+The reference decodes JPEG/PNG with vendored CImg/lodepng into float RGB in
+[0,1] (lib/imgio.cc:25-113) with the sentinel value -1 ("Color::NO") marking
+invalid pixels, written out as white (imgio.cc:98-113).  On TPU the decode
+stays on host (PIL) and arrays are fed to the device as float32 RGB [0,1];
+the -1 invalid-pixel sentinel convention is preserved across the pipeline.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+INVALID = -1.0  # Color::NO sentinel (lib/color.hh)
+
+
+def read_img(path: str) -> np.ndarray:
+    """Decode an image file to float32 RGB in [0,1], shape [H, W, 3]."""
+    from PIL import Image
+
+    with Image.open(path) as im:
+        arr = np.asarray(im.convert("RGB"), dtype=np.float32) / 255.0
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"unsupported image {path}: shape {arr.shape}")
+    return arr
+
+
+def write_rgb(path: str, img: np.ndarray) -> None:
+    """Encode float RGB [0,1] to file; invalid (-1) pixels become white,
+    matching the reference writer (imgio.cc:83-96)."""
+    from PIL import Image
+
+    img = np.asarray(img, dtype=np.float32)
+    invalid = img.min(axis=-1, keepdims=True) < 0
+    img = np.where(invalid, 1.0, img)
+    data = (np.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+    Image.fromarray(data, mode="RGB").save(path)

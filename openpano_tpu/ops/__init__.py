@@ -1,0 +1,15 @@
+from .gaussian import blur, gauss_kernel
+from .imgproc import (
+    INVALID,
+    crop_to_largest_rect,
+    hconcat,
+    resize,
+    rgb2grey,
+    sample_bilinear,
+    working_size,
+)
+
+__all__ = [
+    "blur", "gauss_kernel", "resize", "rgb2grey", "sample_bilinear",
+    "crop_to_largest_rect", "hconcat", "working_size", "INVALID",
+]
