@@ -1,0 +1,150 @@
+"""General stitcher: ESTIMATE_CAMERA (flagship) and TRANS/naive modes.
+
+Reference: stitch/stitcher.{hh,cc}.  Pipeline (stitcher.cc:32-63):
+features -> pairwise (or linear) matching + RANSAC -> center assignment ->
+camera estimation w/ incremental BA (or simple homography chaining) ->
+spherical (or flat) projection -> blend.
+
+TPU-native: matching and RANSAC for ALL pairs run as one batched device
+call each (the reference loops pairs under OpenMP, stitcher.cc:96-114);
+camera estimation device-dispatches a single compiled LM kernel over the
+incremental schedule; blending is the batched canvas renderer.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..camera.camera import estimate_focal, intrinsic
+from ..camera.estimator import estimate_cameras
+from ..geometry.ransac import estimate_transform_batch
+from ..match.matcher import match_all_pairs, match_pair, pair_indices, MatchResult
+from .render import plan_render, blend_linear
+from .stitcherbase import compute_features
+
+
+class PairwiseGraph:
+    """Host-side n x n match graph (reference: Stitcher::pairwise_matches,
+    stitcher.hh:38; both [i][j] and the inverted [j][i] are filled,
+    stitcher.cc:88-92)."""
+
+    def __init__(self, n: int, M: int):
+        self.n = n
+        self.conf = np.zeros((n, n))
+        self.homo = np.zeros((n, n, 3, 3))
+        self.to_pos = np.zeros((n, n, M, 2))
+        self.from_pos = np.zeros((n, n, M, 2))
+        self.valid = np.zeros((n, n, M), bool)
+
+    def fill_pair(self, i: int, j: int, info):
+        """info: per-pair MatchInfo pytree slice (numpy) with homo j->i."""
+        if float(info.confidence) <= 0:
+            return False
+        H = np.asarray(info.homo, np.float64)
+        Hinv = np.linalg.inv(H)
+        Hinv /= Hinv[2, 2]                       # stitcher.cc:79-80
+        self.conf[i, j] = self.conf[j, i] = float(info.confidence)
+        self.homo[i, j] = H
+        self.homo[j, i] = Hinv
+        self.to_pos[i, j] = info.to_pos
+        self.from_pos[i, j] = info.from_pos
+        self.to_pos[j, i] = info.from_pos
+        self.from_pos[j, i] = info.to_pos
+        self.valid[i, j] = self.valid[j, i] = info.valid
+        return True
+
+
+def build_pairwise_graph(feats, whs, cfg: Config, key, ordered: bool,
+                         affine: bool) -> PairwiseGraph:
+    """Match + RANSAC over all C(n,2) pairs (or the ordered ring) in two
+    batched device calls."""
+    n = feats.desc.shape[0]
+    if ordered:
+        # (i, i+1) ring including the head-tail wrap pair, which is allowed
+        # to fail (linear_pairwise_match, stitcher.cc:116-136)
+        ii = list(range(n))
+        jj = [(i + 1) % n for i in ii]
+        P = len(ii)
+        res = jax.vmap(
+            lambda a, b: match_pair(feats.desc[a], feats.valid[a],
+                                    feats.desc[b], feats.valid[b], cfg)
+        )(jnp.asarray(ii), jnp.asarray(jj))
+    else:
+        ii, jj = pair_indices(n)
+        res = match_all_pairs(feats.desc, feats.valid, cfg)
+
+    infos = estimate_transform_batch(
+        res, feats.pos, feats.valid, whs,
+        jnp.asarray(ii), jnp.asarray(jj), key, cfg, affine,
+    )
+    infos = jax.tree_util.tree_map(np.asarray, infos)
+
+    graph = PairwiseGraph(n, res.idx.shape[1])
+    for p, (i, j) in enumerate(zip(ii, jj)):
+        info_p = jax.tree_util.tree_map(lambda a: a[p], infos)
+        succ = graph.fill_pair(i, j, info_p)
+        if ordered and not succ and i != n - 1:
+            raise RuntimeError(f"Image {i} and {j} don't match")
+    return graph
+
+
+def stitch(imgs: np.ndarray, cfg: Config, key=None) -> np.ndarray:
+    """Full Stitcher::build (stitcher.cc:32-63).  imgs: [n,H,W,3] float32.
+    Returns the blended canvas (float32, INVALID=-1 where empty, pre-crop)."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    imgs = jnp.asarray(imgs, jnp.float32)
+    n, H, W = imgs.shape[0], imgs.shape[1], imgs.shape[2]
+    mid = n >> 1                                  # assign_center, stitcher.cc:138-141
+
+    feats = compute_features(imgs, cfg)
+    whs = jnp.broadcast_to(jnp.asarray([W, H], jnp.float32), (n, 2))
+    graph = build_pairwise_graph(
+        feats, whs, cfg, key, ordered=cfg.ORDERED_INPUT, affine=cfg.TRANS
+    )
+
+    whs_np = np.repeat([[float(W), float(H)]], n, 0)
+    if cfg.ESTIMATE_CAMERA:
+        cams = estimate_cameras(
+            graph.conf, graph.homo, graph.to_pos, graph.from_pos, graph.valid,
+            whs_np, cfg,
+        )
+        homos = np.zeros((n, 3, 3))
+        for i in range(n):                        # stitcher.cc:143-154
+            K = intrinsic(cams.focal[i], cams.ppx[i], cams.ppy[i])
+            homos[i] = cams.R[i].T @ np.linalg.inv(K)
+        proj = "spherical"
+    else:
+        homos = _build_linear_simple(graph, n, mid, whs_np, cfg)
+        proj = "flat"
+
+    plan = plan_render(homos, whs_np, mid, proj, cfg.MAX_OUTPUT_SIZE)
+    canvas = blend_linear(imgs, plan, ordered=cfg.ORDERED_INPUT)
+    return np.asarray(canvas)
+
+
+def _build_linear_simple(graph: PairwiseGraph, n: int, mid: int,
+                         whs: np.ndarray, cfg: Config) -> np.ndarray:
+    """Chain pairwise homographies outward from the middle image and
+    prescale by diag(1/f, 1/f, 1) (stitcher.cc:156-195)."""
+    homos = np.zeros((n, 3, 3))
+    homos[mid] = np.eye(3)
+    for k in range(mid + 1, n):
+        if graph.conf[k - 1, k] <= 0:
+            raise RuntimeError(f"Image {k-1} and {k} don't match")
+        homos[k] = homos[k - 1] @ graph.homo[k - 1, k]
+    for k in range(mid - 1, -1, -1):
+        if graph.conf[k + 1, k] <= 0:
+            raise RuntimeError(f"Image {k} and {k+1} don't match")
+        homos[k] = homos[k + 1] @ graph.homo[k + 1, k]
+
+    f = -1.0
+    if not cfg.TRANS:                             # stitcher.cc:180-181
+        f = estimate_focal(graph.conf, graph.homo)
+    if f <= 0:
+        f = 0.5 * (whs[mid, 0] + whs[mid, 1])     # stitcher.cc:182-184
+    M = np.diag([1.0 / f, 1.0 / f, 1.0])
+    return M[None] @ homos

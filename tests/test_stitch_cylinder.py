@@ -1,0 +1,114 @@
+"""Warp/render unit tests + CYLINDER-mode end-to-end on synthetic views."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from openpano_tpu.config import Config
+from openpano_tpu.ops.imgproc import crop_to_largest_rect
+from openpano_tpu.stitch.warp import make_projector, warp_keypoints, warp_image
+from openpano_tpu.stitch.render import plan_render, blend_linear
+from openpano_tpu.synth import procedural_scene, render_views, gt_pair_homography
+from openpano_tpu.stitch.cylstitcher import stitch_cylinder
+
+CFG = Config(
+    CYLINDER=True, ESTIMATE_CAMERA=False, ORDERED_INPUT=True,
+    RANSAC_ITERATIONS=400,
+    MAX_CAND_PER_OCTAVE=1024, MAX_KP_PER_OCTAVE=512,
+    MAX_DESC_PER_OCTAVE=512, MAX_KP_PER_IMAGE=1024,
+    MAX_MATCHES_PER_PAIR=512, SIFT_WORKING_SIZE=400,
+)
+
+
+class TestCylinderWarp:
+    def test_projector_roundtrip(self):
+        proj = make_projector(320, 240, 1.0, CFG)
+        # forward proj then proj_r must be identity on source pixels
+        x, y = 100.0, 60.0
+        px = np.arctan((x - proj.cx) / proj.r)
+        py = (y - proj.cy) / np.hypot(x - proj.cx, proj.r)
+        bx = proj.r * np.tan(px) + proj.cx
+        by = py * proj.r / np.cos(px) + proj.cy
+        assert abs(bx - x) < 1e-6 and abs(by - y) < 1e-6
+
+    def test_warp_image_keypoint_consistency(self):
+        """A bright dot warps to where warp_keypoints says it should."""
+        W, H = 320, 240
+        img = np.zeros((H, W, 3), np.float32)
+        sx, sy = 80, 150
+        img[sy - 1 : sy + 2, sx - 1 : sx + 2] = 1.0
+        proj = make_projector(W, H, 1.0, CFG)
+        warped = np.asarray(warp_image(proj, jnp.asarray(img), proj.out_h, proj.out_w, W, H))
+        wkp = np.asarray(
+            warp_keypoints(proj, jnp.asarray([[sx - W / 2, sy - H / 2]], jnp.float32), W, H)
+        )[0]
+        wx, wy = wkp[0] + proj.out_w // 2, wkp[1] + proj.out_h // 2
+        bright = np.unravel_index(np.argmax(warped.sum(-1)), warped.shape[:2])
+        assert abs(bright[1] - wx) <= 2 and abs(bright[0] - wy) <= 2
+
+    def test_warp_preserves_center(self):
+        W, H = 320, 240
+        rngimg = np.random.default_rng(0).uniform(size=(H, W, 3)).astype(np.float32)
+        proj = make_projector(W, H, 1.0, CFG)
+        warped = np.asarray(warp_image(proj, jnp.asarray(rngimg), proj.out_h, proj.out_w, W, H))
+        # the warped size is close to the original, and most pixels valid
+        assert 0.9 < proj.out_w / W < 1.1 and 0.9 < proj.out_h / H < 1.1
+        assert (warped[..., 0] >= 0).mean() > 0.9
+
+
+class TestRenderPlan:
+    def test_identity_blend(self):
+        img = np.random.default_rng(1).uniform(size=(64, 96, 3)).astype(np.float32)
+        homos = np.eye(3)[None].repeat(2, 0)
+        whs = np.array([[96.0, 64.0]] * 2)
+        plan = plan_render(homos, whs, 0, "flat", 8000)
+        assert (plan.out_w, plan.out_h) == (96, 64)
+        stack = jnp.asarray(np.stack([img, img]))
+        out = np.asarray(blend_linear(stack, plan, ordered=True))
+        valid = out[..., 0] >= 0
+        assert valid.mean() > 0.93
+        src = img[: plan.out_h, : plan.out_w]
+        np.testing.assert_allclose(out[valid], src[valid], atol=2e-2)
+
+    def test_translation_blend_size(self):
+        img = np.random.default_rng(1).uniform(size=(64, 96, 3)).astype(np.float32)
+        shift = np.eye(3)
+        shift[0, 2] = 48.0  # image 1 sits 48px right of image 0
+        homos = np.stack([np.eye(3), shift])
+        whs = np.array([[96.0, 64.0]] * 2)
+        plan = plan_render(homos, whs, 0, "flat", 8000)
+        assert plan.out_w == pytest.approx(96 + 48, abs=2)
+        stack = jnp.asarray(np.stack([img, img]))
+        out = np.asarray(blend_linear(stack, plan, ordered=True))
+        assert (out[..., 0] >= 0).mean() > 0.9
+
+
+class TestSynth:
+    def test_gt_homography_maps_views(self, rng):
+        scene = procedural_scene(400, 1600, seed=3)
+        views, truth = render_views(scene, 4, out_w=200, out_h=150, hfov_deg=30)
+        H = gt_pair_homography(truth, 0, 1, 200, 150)
+        # center of view1 maps into view0 shifted right by ~overlap
+        p = H @ np.array([0.0, 0.0, 1.0])
+        p = p[:2] / p[2]
+        assert p[0] > 20  # view 1 center is right of view 0 center
+        assert abs(p[1]) < 2
+
+
+class TestCylinderEndToEnd:
+    def test_stitch_synthetic(self):
+        from openpano_tpu.synth import photo_scene
+
+        scene = photo_scene()
+        views, truth = render_views(
+            scene, 6, out_w=320, out_h=240, hfov_deg=32, overlap=0.5
+        )
+        out = stitch_cylinder(views, CFG)
+        cropped = crop_to_largest_rect(out)
+        # 6 views, 50% overlap: total span = 3.5x one view's FOV (like
+        # run_test.py's golden-size check, src/run_test.py:41-48)
+        assert out.shape[1] == pytest.approx(3.5 * 320, rel=0.2)
+        assert 150 <= out.shape[0] <= 400
+        assert cropped.shape[0] > 100 and cropped.shape[1] > 800
+        # cropped region must be fully valid
+        assert (cropped >= 0).all()
