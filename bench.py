@@ -1,0 +1,62 @@
+"""Headline benchmark: end-to-end panorama stitch throughput.
+
+Workload mirrors the reference's CMU0 headline (38 unordered 1300x867
+images, ESTIMATE_CAMERA mode, 51 s on an i7-6700HQ — BASELINE.md): by
+default a smaller warm-up friendly set is used unless BENCH_FULL=1.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline = our img/s divided by the reference's 0.745 img/s headline.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from openpano_tpu import Config
+    from openpano_tpu.stitch.stitcher import stitch
+    from openpano_tpu.synth import photo_scene, render_views
+
+    full = os.environ.get("BENCH_FULL", "0") == "1"
+    n = 38 if full else 13
+    out_w, out_h = (1300, 867) if full else (640, 480)
+
+    cfg = Config(
+        ESTIMATE_CAMERA=True, ORDERED_INPUT=False,
+        MAX_KP_PER_IMAGE=2048, MAX_MATCHES_PER_PAIR=1024,
+    )
+    scene = photo_scene()
+    views, _ = render_views(
+        scene, n, out_w=out_w, out_h=out_h, hfov_deg=30,
+        overlap=0.5, jitter=0.05, seed=5,
+    )
+    # shuffle: the benchmark is the unordered all-pairs path
+    rng = np.random.default_rng(0)
+    perm = rng.permutation(n)
+    views = views[perm]
+
+    # cold run (compile) then timed warm run
+    out = stitch(views, cfg, key=jax.random.PRNGKey(1))
+    t0 = time.time()
+    out = stitch(views, cfg, key=jax.random.PRNGKey(1))
+    dt = time.time() - t0
+
+    assert out.shape[0] > 100 and out.shape[1] > out_w, out.shape
+    img_per_s = n / dt
+    baseline = 38 / 51.0  # reference CMU0 headline (BASELINE.md)
+    print(json.dumps({
+        "metric": "stitch_images_per_s",
+        "value": round(img_per_s, 3),
+        "unit": "img/s",
+        "vs_baseline": round(img_per_s / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

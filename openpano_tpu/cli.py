@@ -1,0 +1,230 @@
+"""Command-line interface.
+
+Reference: src/main.cc — default mode stitches the given images (work(),
+main.cc:205-235); debug subcommands visualize individual pipeline stages
+(keypoint/orientation/match/inlier/warp/planet, main.cc:41-202,294-331) and
+write images under log/.  Config is read from ``config.cfg`` in the CWD (or
+--config), same file format (init_config, main.cc:237-292).
+
+Usage:
+  python -m openpano_tpu.cli img1.jpg img2.jpg ... [-o out.jpg]
+  python -m openpano_tpu.cli --mode keypoint img.jpg
+  python -m openpano_tpu.cli --mode match img1.jpg img2.jpg
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+from .config import Config
+
+
+def load_config(path: str | None) -> Config:
+    if path and os.path.exists(path):
+        return Config.from_file(path)
+    if path:
+        raise SystemExit(f"Cannot find config file {path}")
+    if os.path.exists("config.cfg"):
+        return Config.from_file("config.cfg")
+    return Config()
+
+
+def _detect(img, cfg):
+    import jax.numpy as jnp
+
+    from .stitch.stitcherbase import compute_features
+
+    return compute_features(jnp.asarray(img)[None], cfg)
+
+
+def _logpath(name: str) -> str:
+    os.makedirs("log", exist_ok=True)
+    return os.path.join("log", name)
+
+
+def mode_keypoint(args, cfg):
+    from .io import read_img, write_rgb
+    from .utils.draw import PlaneDrawer
+
+    img = read_img(args.images[0])
+    feats = _detect(img, cfg)
+    pos = np.asarray(feats.pos[0])[np.asarray(feats.valid[0])]
+    print(f"Found {len(pos)} keypoints")
+    pld = PlaneDrawer(img.copy())
+    h, w = img.shape[:2]
+    for x, y in pos:
+        pld.cross(x + w / 2, y + h / 2, 3)
+    out = _logpath("keypoint.jpg")
+    write_rgb(out, pld.img)
+    print(f"Wrote {out}")
+
+
+def mode_match(args, cfg, draw_inliers=False):
+    import jax
+    import jax.numpy as jnp
+
+    from .geometry.ransac import estimate_transform
+    from .io import read_img, write_rgb
+    from .match.matcher import match_pair
+    from .ops.imgproc import hconcat
+    from .utils.draw import PlaneDrawer
+
+    img1 = read_img(args.images[0])
+    img2 = read_img(args.images[1])
+    f1 = _detect(img1, cfg)
+    f2 = _detect(img2, cfg)
+    res = match_pair(f1.desc[0], f1.valid[0], f2.desc[0], f2.valid[0], cfg)
+    print(f"Match size: {int(res.count)}")
+
+    canvas = hconcat([img1, img2])
+    pld = PlaneDrawer(canvas)
+    rng = np.random.default_rng(0)
+    h1, w1 = img1.shape[:2]
+    h2, w2 = img2.shape[:2]
+
+    if draw_inliers:
+        whs = jnp.asarray([[w1, h1], [w2, h2]], jnp.float32)
+        info = estimate_transform(
+            res, f1.pos[0], f1.valid[0], f2.pos[0], f2.valid[0],
+            whs[0], whs[1], jax.random.PRNGKey(0), cfg, affine=cfg.TRANS,
+        )
+        print(f"Confidence: {float(info.confidence):.3f}, inliers: {int(info.count)}")
+        pts1 = np.asarray(info.to_pos)[np.asarray(info.valid)]
+        pts2 = np.asarray(info.from_pos)[np.asarray(info.valid)]
+    else:
+        idx = np.asarray(res.idx)[np.asarray(res.valid)]
+        pts1 = np.asarray(f1.pos[0])[idx[:, 0]]
+        pts2 = np.asarray(f2.pos[0])[idx[:, 1]]
+
+    for (x1, y1), (x2, y2) in zip(pts1, pts2):
+        pld.set_rand_color(rng)
+        a = (x1 + w1 / 2, y1 + h1 / 2)
+        b = (x2 + w2 / 2 + w1, y2 + h2 / 2)
+        pld.circle(*a, 4)
+        pld.circle(*b, 4)
+        pld.line(*a, *b)
+    out = _logpath("inlier.jpg" if draw_inliers else "match.jpg")
+    write_rgb(out, pld.img)
+    print(f"Wrote {out}")
+
+
+def mode_warp(args, cfg):
+    import jax.numpy as jnp
+
+    from .io import read_img, write_rgb
+    from .stitch.warp import make_projector, warp_image
+
+    img = read_img(args.images[0])
+    h, w = img.shape[:2]
+    proj = make_projector(w, h, 1.0, cfg)
+    warped = np.asarray(
+        warp_image(proj, jnp.asarray(img), proj.out_h, proj.out_w, w, h)
+    )
+    out = _logpath("warped.jpg")
+    write_rgb(out, np.where(warped < 0, 1.0, warped))
+    print(f"Wrote {out}")
+
+
+def mode_planet(args, cfg):
+    """Toy polar remap (main.cc:294-331)."""
+    from .io import read_img, write_rgb
+
+    img = read_img(args.images[0])
+    h, w = img.shape[:2]
+    OUT = 1000
+    c = OUT / 2
+    ii, jj = np.mgrid[0:OUT, 0:OUT].astype(np.float64)
+    dist = np.hypot(c - ii, c - jj)
+    ok = (dist < c) & (dist > 0)
+    r = h - dist / c * h
+    r = np.minimum(r, h - 1)
+    theta = np.arctan2(c - ii, c - jj) % (2 * np.pi)
+    sx = np.clip(theta / (2 * np.pi) * w, 0, w - 2)
+    sy = np.clip(r, 0, h - 2)
+    x0 = sx.astype(int)
+    y0 = sy.astype(int)
+    fx = (sx - x0)[..., None]
+    fy = (sy - y0)[..., None]
+    out = (
+        img[y0, x0] * (1 - fy) * (1 - fx) + img[y0, x0 + 1] * (1 - fy) * fx
+        + img[y0 + 1, x0] * fy * (1 - fx) + img[y0 + 1, x0 + 1] * fy * fx
+    )
+    out[~ok] = 1.0
+    path = _logpath("planet.jpg")
+    write_rgb(path, out.astype(np.float32))
+    print(f"Wrote {path}")
+
+
+def mode_stitch(args, cfg):
+    import jax
+
+    from .io import read_img, write_rgb
+    from .ops.imgproc import crop_to_largest_rect
+    from .stitch.cylstitcher import stitch_cylinder
+    from .stitch.stitcher import stitch
+
+    t0 = time.time()
+    imgs = [read_img(f) for f in args.images]
+    shapes = {im.shape for im in imgs}
+    if len(shapes) != 1:
+        raise SystemExit(
+            "All input images must share one shape (batched TPU path); "
+            f"got {sorted(shapes)}"
+        )
+    stack = np.stack(imgs)
+    print(f"Read {len(imgs)} images in {time.time()-t0:.2f}s")
+
+    t0 = time.time()
+    key = jax.random.PRNGKey(args.seed)
+    if cfg.CYLINDER:
+        canvas = stitch_cylinder(stack, cfg, key)
+    else:
+        canvas = stitch(stack, cfg, key)
+    print(f"Stitched in {time.time()-t0:.2f}s")
+    print(f"Final Image Size: ({canvas.shape[1]}, {canvas.shape[0]})")
+
+    if cfg.CROP:
+        canvas = crop_to_largest_rect(canvas)
+        print(f"Cropped to: ({canvas.shape[1]}, {canvas.shape[0]})")
+    canvas = np.where(canvas < 0, 1.0, canvas)  # Color::NO -> white on write
+    write_rgb(args.output, canvas)
+    print(f"Wrote {args.output}")
+
+
+MODES = {
+    "stitch": mode_stitch,
+    "keypoint": mode_keypoint,
+    "match": lambda a, c: mode_match(a, c, draw_inliers=False),
+    "inlier": lambda a, c: mode_match(a, c, draw_inliers=True),
+    "warp": mode_warp,
+    "planet": mode_planet,
+}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        prog="openpano_tpu",
+        description="TPU-native panorama stitcher (OpenPano-compatible)",
+    )
+    ap.add_argument("images", nargs="+", help="input image files")
+    ap.add_argument("-o", "--output", default="out.jpg")
+    ap.add_argument("-c", "--config", default=None, help="config.cfg path")
+    ap.add_argument(
+        "--mode", default="stitch", choices=sorted(MODES),
+        help="debug modes visualize one pipeline stage (reference main.cc)",
+    )
+    ap.add_argument("--seed", type=int, default=0, help="RANSAC PRNG seed")
+    args = ap.parse_args(argv)
+
+    cfg = load_config(args.config)
+    MODES[args.mode](args, cfg)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -89,6 +89,11 @@ class Config:
     # RANSAC hypothesis batch is vmapped; dtype for the DLT solves.
     RANSAC_DTYPE: str = "float32"
     BA_DTYPE: str = "float64"
+    # Run bundle adjustment on the host CPU backend: the LM state is tiny
+    # (6 params x <=hundreds of cameras) and f64 is native there, while TPU
+    # f64 is software-emulated with a heavy compile.  The device path stays
+    # available for the distributed large-scale BA (set False).
+    BA_ON_HOST: bool = True
 
     @property
     def DESC_LEN(self) -> int:

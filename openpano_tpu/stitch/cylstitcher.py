@@ -23,7 +23,7 @@ from ..geometry.dlt import perspective_dlt
 from ..geometry.ransac import MatchInfo, estimate_transform_batch
 from ..match.matcher import MatchResult, match_adjacent_pairs
 from ..ops.imgproc import sample_bilinear, INVALID
-from .render import plan_render, blend_linear
+from .render import plan_render, blend
 from .stitcherbase import compute_features
 from .warp import make_projector, warp_keypoints, warp_image
 
@@ -146,7 +146,7 @@ def stitch_cylinder(imgs: np.ndarray, cfg: Config, key=None) -> np.ndarray:
     plan = plan_render(
         np.stack(homos), wwh.astype(np.float64), mid, "flat", cfg.MAX_OUTPUT_SIZE
     )
-    canvas = blend_linear(warped, plan, ordered=True)
+    canvas = blend(warped, plan, ordered=True, multiband=cfg.MULTIBAND)
 
     return np.asarray(
         perspective_correction(canvas, plan, np.stack(homos), wwh, mid)
@@ -176,9 +176,11 @@ def perspective_correction(canvas: jnp.ndarray, plan, homos: np.ndarray,
         to_canvas(len(homos) - 1, (0.5, 0.5)),
     ])
     corners_std = np.array([[0, 0], [0, h], [w, 0], [w, h]], np.float64)
-    Hc = perspective_dlt(
-        jnp.asarray(corners), jnp.asarray(corners_std), jnp.ones(4)
-    )  # output-rect px -> canvas px (raw DLT, no normalization: cylstitcher.cc:166)
+    # host-side f64 DLT (TPU XLA lacks f64 LU decomposition)
+    with jax.default_device(jax.devices("cpu")[0]):
+        Hc = np.asarray(perspective_dlt(
+            jnp.asarray(corners), jnp.asarray(corners_std), jnp.ones(4)
+        ))  # output-rect px -> canvas px (raw DLT, no normalization: cylstitcher.cc:166)
 
     jj = jnp.arange(w, dtype=jnp.float32)
     ii = jnp.arange(h, dtype=jnp.float32)

@@ -1,0 +1,193 @@
+"""Burt-Adelson multiband blender.
+
+Reference: stitch/multiband.{hh,cc}.
+  1. First level: each image is sampled into its output-bbox RoI as
+     (color, weight) with border-distance weight
+     w = max(0,(0.5-|nx|)(0.5-|ny|))+EPS and a validity mask; invalid pixels
+     get (BLACK, 0) so they don't poison the blur (multiband.cc:19-57).
+  2. update_weight_map: winner-take-all seam — per canvas pixel only the
+     max-weight image keeps w=1 (multiband.cc:125-143).
+  3. band_level iterations: next level = Gaussian blur sigma=sqrt(2l+1)*4 of
+     the 4-channel (RGB+w) planes (multiband.cc:145-151); accumulate
+     (cur-next)*w normalized per level, last level accumulates cur*w
+     (multiband.cc:75-108); final clamp to [0,1] (multiband.cc:113-121).
+
+TPU-native: per-image RoI planes live in one fixed-shape [N,Rh,Rw,4] buffer
+(Rh/Rw = max bbox over images, zero-padded — padding behaves exactly like
+the reference's in-RoI invalid pixels).  Sampling/blur/weights are batched
+over images; canvas scatter uses dynamic_update_slice accumulation.  The
+validity mask is the *first-level* mask at every level, as in the reference.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.gaussian import blur
+from ..ops.imgproc import sample_bilinear, INVALID
+from .projection import PROJECTIONS
+from .render import RenderPlan
+
+EPS = 1e-6
+
+
+def _roi_sizes(plan: RenderPlan) -> tuple[int, int]:
+    r = plan.ranges
+    return int((r[:, 3] - r[:, 1]).max()), int((r[:, 2] - r[:, 0]).max())
+
+
+@functools.partial(jax.jit, static_argnames=("proj", "rh", "rw"))
+def _first_level(imgs, homo_invs, whs, ranges, proj_min, resolution,
+                 proj: str, rh: int, rw: int):
+    """[N,Rh,Rw,4] (RGB+w) planes + [N,Rh,Rw] validity masks."""
+    _, proj2homo = PROJECTIONS[proj]
+    imgs = imgs.astype(jnp.float32)
+
+    def one(img, Hinv, wh, rng):
+        x0, y0 = rng[0], rng[1]
+        jj = (jnp.arange(rw) + x0).astype(jnp.float32)
+        ii = (jnp.arange(rh) + y0).astype(jnp.float32)
+        cx = jj * resolution[0] + proj_min[0]
+        cy = ii * resolution[1] + proj_min[1]
+        grid = jnp.stack(
+            [jnp.broadcast_to(cx[None, :], (rh, rw)),
+             jnp.broadcast_to(cy[:, None], (rh, rw))], -1,
+        )
+        hm = proj2homo(grid)
+        ret = jnp.einsum("hwc,dc->hwd", hm, Hinv.astype(jnp.float32))
+        z = ret[..., 2]
+        zsafe = jnp.where(jnp.abs(z) > 1e-20, z, 1e-20)
+        sx = ret[..., 0] / zsafe + wh[0] * 0.5
+        sy = ret[..., 1] / zsafe + wh[1] * 0.5
+        color, ok = sample_bilinear(img, sy, sx)
+        in_roi = (
+            (jnp.arange(rw)[None, :] + x0 < rng[2])
+            & (jnp.arange(rh)[:, None] + y0 < rng[3])
+        )
+        valid = ok & (z > 0) & in_roi
+        nx = sx / wh[0] - 0.5
+        ny = sy / wh[1] - 0.5
+        w = (
+            jnp.maximum(0.0, (0.5 - jnp.abs(nx)) * (0.5 - jnp.abs(ny))) + EPS
+        )
+        w = jnp.where(valid, w, 0.0)
+        color = jnp.where(valid[..., None], color, 0.0)  # BLACK, not NO
+        return jnp.concatenate([color, w[..., None]], -1), valid
+
+    return jax.vmap(one)(imgs, homo_invs, whs, ranges)
+
+
+@functools.partial(jax.jit, static_argnames=("out_h", "out_w"))
+def _winner_take_all(planes, ranges, out_h: int, out_w: int):
+    """Max-weight seam (multiband.cc:125-143): per canvas pixel, w=1 for the
+    first image attaining the max weight, 0 for the rest."""
+    n, rh, rw = planes.shape[0], planes.shape[1], planes.shape[2]
+
+    def scatter_max(i, maxw):
+        x0, y0 = ranges[i, 0], ranges[i, 1]
+        region = jax.lax.dynamic_slice(maxw, (y0, x0), (rh, rw))
+        region = jnp.maximum(region, planes[i, :, :, 3])
+        return jax.lax.dynamic_update_slice(maxw, region, (y0, x0))
+
+    maxw = jax.lax.fori_loop(
+        0, n, scatter_max, jnp.zeros((out_h + rh, out_w + rw), jnp.float32)
+    )
+
+    # first-attainer tie-break: among images with w == maxw, smallest index
+    def find_winner(i, winner):
+        x0, y0 = ranges[i, 0], ranges[i, 1]
+        region = jax.lax.dynamic_slice(winner, (y0, x0), (rh, rw))
+        mw = jax.lax.dynamic_slice(maxw, (y0, x0), (rh, rw))
+        w = planes[i, :, :, 3]
+        hit = (w >= mw) & (w > 0) & (region == n)
+        region = jnp.where(hit, i, region)
+        return jax.lax.dynamic_update_slice(winner, region, (y0, x0))
+
+    winner = jax.lax.fori_loop(
+        0, n, find_winner,
+        jnp.full((out_h + rh, out_w + rw), n, jnp.int32),
+    )
+
+    def read_back(i):
+        x0, y0 = ranges[i, 0], ranges[i, 1]
+        region = jax.lax.dynamic_slice(winner, (y0, x0), (rh, rw))
+        return (region == i).astype(jnp.float32)
+
+    new_w = jax.vmap(read_back)(jnp.arange(n))
+    return planes.at[..., 3].set(new_w * (planes[..., 3] > 0))
+
+
+@functools.partial(jax.jit, static_argnames=("out_h", "out_w", "is_last"))
+def _accumulate_level(cur, nxt, valid, ranges, target, visited,
+                      out_h: int, out_w: int, is_last: bool):
+    """One level's contribution (multiband.cc:75-108): per canvas pixel,
+    sum_img (cur-next)*w / sum_img w  (cur*w for the last level)."""
+    n, rh, rw = cur.shape[0], cur.shape[1], cur.shape[2]
+    isum = jnp.zeros((out_h + rh, out_w + rw, 3), jnp.float32)
+    wsum = jnp.zeros((out_h + rh, out_w + rw), jnp.float32)
+
+    def body(i, acc):
+        isum, wsum = acc
+        x0, y0 = ranges[i, 0], ranges[i, 1]
+        w = cur[i, :, :, 3] * valid[i]
+        if is_last:
+            band = cur[i, :, :, :3]
+        else:
+            band = cur[i, :, :, :3] - nxt[i, :, :, :3]
+        z0 = jnp.zeros((), y0.dtype)
+        ir = jax.lax.dynamic_slice(isum, (y0, x0, z0), (rh, rw, 3))
+        wr = jax.lax.dynamic_slice(wsum, (y0, x0), (rh, rw))
+        isum = jax.lax.dynamic_update_slice(isum, ir + band * w[..., None], (y0, x0, z0))
+        wsum = jax.lax.dynamic_update_slice(wsum, wr + w, (y0, x0))
+        return isum, wsum
+
+    isum, wsum = jax.lax.fori_loop(0, n, body, (isum, wsum))
+    isum = isum[:out_h, :out_w]
+    wsum = wsum[:out_h, :out_w]
+    has = wsum >= EPS
+    contrib = jnp.where(has[..., None], isum / jnp.maximum(wsum, EPS)[..., None], 0.0)
+    target = jnp.where(
+        (has & ~visited)[..., None], contrib,
+        jnp.where(has[..., None], target + contrib, target),
+    )
+    return target, visited | has
+
+
+def blend_multiband(imgs: jnp.ndarray, plan: RenderPlan, band_level: int) -> jnp.ndarray:
+    """Full multiband run (multiband.cc:59-123).  imgs: [N,Hp,Wp,3] padded
+    with INVALID; returns [out_h,out_w,3] canvas with INVALID where empty."""
+    rh, rw = _roi_sizes(plan)
+    ranges = jnp.asarray(plan.ranges)
+    planes, valid = _first_level(
+        imgs, jnp.asarray(plan.homo_invs), jnp.asarray(plan.whs, jnp.float32),
+        ranges, jnp.asarray(plan.proj_min, jnp.float32),
+        jnp.asarray(plan.resolution, jnp.float32),
+        plan.proj, rh, rw,
+    )
+    planes = _winner_take_all(planes, ranges, plan.out_h, plan.out_w)
+    valid_f = valid.astype(jnp.float32)
+
+    target = jnp.zeros((plan.out_h, plan.out_w, 3), jnp.float32)
+    visited = jnp.zeros((plan.out_h, plan.out_w), bool)
+    cur = planes
+    for level in range(band_level):
+        is_last = level == band_level - 1
+        if not is_last:
+            sigma = float(np.sqrt(level * 2 + 1.0) * 4)
+            nxt = jnp.moveaxis(
+                blur(jnp.moveaxis(cur, -1, 1), sigma), 1, -1
+            )
+        else:
+            nxt = cur
+        target, visited = _accumulate_level(
+            cur, nxt, valid_f, ranges, target, visited,
+            plan.out_h, plan.out_w, is_last,
+        )
+        cur = nxt
+
+    out = jnp.clip(target, 0.0, 1.0)
+    return jnp.where(visited[..., None], out, INVALID)

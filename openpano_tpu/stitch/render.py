@@ -129,6 +129,7 @@ def _blend_linear_impl(imgs, homo_invs, whs, ranges, proj_min, resolution,
                        proj: str, out_h: int, out_w: int, ordered: bool):
     _, proj2homo = PROJECTIONS[proj]
     n = imgs.shape[0]
+    imgs = imgs.astype(jnp.float32)  # image path is f32 even under x64
 
     jj = jnp.arange(out_w, dtype=jnp.float32)
     ii = jnp.arange(out_h, dtype=jnp.float32)
@@ -174,6 +175,24 @@ def blend_linear(imgs: jnp.ndarray, plan: RenderPlan, ordered: bool) -> jnp.ndar
     """imgs: [N, Hp, Wp, 3] stack padded with the INVALID sentinel beyond
     each image's (whs) extent.  Returns the blended [out_h, out_w, 3] canvas
     with INVALID where nothing was rendered."""
+    return _blend_linear_impl(
+        imgs,
+        jnp.asarray(plan.homo_invs),
+        jnp.asarray(plan.whs, jnp.float32),
+        jnp.asarray(plan.ranges),
+        jnp.asarray(plan.proj_min, jnp.float32),
+        jnp.asarray(plan.resolution, jnp.float32),
+        plan.proj, plan.out_h, plan.out_w, ordered,
+    )
+
+
+def blend(imgs: jnp.ndarray, plan: RenderPlan, ordered: bool, multiband: int) -> jnp.ndarray:
+    """Blender dispatch (ConnectedImages::blend, stitcher_image.cc:131-136):
+    MultiBand when multiband > 0, else Linear."""
+    if multiband > 0:
+        from .multiband import blend_multiband
+
+        return blend_multiband(imgs, plan, multiband)
     return _blend_linear_impl(
         imgs,
         jnp.asarray(plan.homo_invs),

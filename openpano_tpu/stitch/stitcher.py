@@ -122,7 +122,7 @@ def stitch(imgs: np.ndarray, cfg: Config, key=None) -> np.ndarray:
         proj = "flat"
 
     plan = plan_render(homos, whs_np, mid, proj, cfg.MAX_OUTPUT_SIZE)
-    canvas = blend_linear(imgs, plan, ordered=cfg.ORDERED_INPUT)
+    canvas = blend(imgs, plan, ordered=cfg.ORDERED_INPUT, multiband=cfg.MULTIBAND)
     return np.asarray(canvas)
 
 

@@ -60,7 +60,8 @@ def make_projector(w: int, h: int, h_factor: float, cfg: Config) -> CylinderProj
     py = (ys[:, None] - cy) / np.hypot(jcands[None, :] - cx, r)
     min_y, max_y = py.min() * r, py.max() * r
 
-    offset_x, offset_y = -min_x, -min_y
+    # python floats (weakly typed in jax) so the f32 image path stays f32
+    offset_x, offset_y = float(-min_x), float(-min_y)
     out_w = int(max_x - min_x)
     out_h = int(max_y - min_y)
     return CylinderProjector(
