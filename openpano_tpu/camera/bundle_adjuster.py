@@ -13,13 +13,14 @@ itself comes from the best accepted state (.cc:117-160).
 
 TPU-native design: the reference assembles a dense J (~700k x 6n, zeroing
 noted as 1/3 of its runtime at .cc:280) exploiting block sparsity only in
-JtJ accumulation.  Here J is never materialized: jax.jacfwd computes each
-pair's [M,2,12] block (12 = the only nonzero columns), vmapped over pairs,
-and JtJ/Jtb are scatter-added from per-pair [12,12] / [12] blocks.  The
-whole schedule runs with static shapes — inactive pairs are masked, so every
-incremental optimize() call reuses one compiled executable.  float64
-throughout, matching the reference (TPU f64 is software-emulated but the
-per-iteration cost is a few MFLOP).
+JtJ accumulation.  Here the problem is *point-major*: all match points from
+all pairs live in flat [T] arrays carrying their two camera indices and a
+weight (0 = padding or pair not yet active in the incremental schedule).
+J is never materialized — jax.jacfwd gives each point's [2,12] block (12 =
+the only nonzero columns), and JtJ/Jtb are scatter-added from per-point
+[12,12]/[12] blocks.  Every optimize() call in the schedule reuses one
+compiled executable; only the weights change.  float64 throughout, matching
+the reference.
 """
 
 from __future__ import annotations
@@ -37,20 +38,19 @@ NR_NON_DECREASE = 5     # .cc:159
 
 
 class BAProblem(NamedTuple):
-    """Static-shape BA inputs.
+    """Point-major static-shape BA inputs.
 
-    from_idx/to_idx: [P] camera indices per match pair;
-    pts_to: [P,M,2] match coords in the 'to' image (half-shifted),
-    pts_from: [P,M,2] coords in the 'from' image;
-    valid: [P,M] point mask; pair_active: [P] schedule mask.
+    cam_from/cam_to: [T] camera indices per match point;
+    pt_to: [T,2] coords in the 'to' image (half-shifted),
+    pt_from: [T,2] coords in the 'from' image;
+    w: [T] weights (1 = active, 0 = padding / inactive pair).
     """
 
-    from_idx: jnp.ndarray
-    to_idx: jnp.ndarray
-    pts_to: jnp.ndarray
-    pts_from: jnp.ndarray
-    valid: jnp.ndarray
-    pair_active: jnp.ndarray
+    cam_from: jnp.ndarray
+    cam_to: jnp.ndarray
+    pt_to: jnp.ndarray
+    pt_from: jnp.ndarray
+    w: jnp.ndarray
 
 
 def _K(f, ppx, ppy, dtype):
@@ -72,63 +72,59 @@ def _K_inv(f, ppx, ppy, dtype):
     ])
 
 
-def _pair_residual(cam12: jnp.ndarray, pts_to: jnp.ndarray, pts_from: jnp.ndarray,
-                   valid: jnp.ndarray) -> jnp.ndarray:
-    """Residuals [M,2] for one pair given its two cameras' 12 params
+def _point_residual(cam12: jnp.ndarray, pt_to: jnp.ndarray,
+                    pt_from: jnp.ndarray) -> jnp.ndarray:
+    """Residual [2] for one point given its two cameras' 12 params
     (calcError, .cc:171-197): r = from - H(to), H = K_f R_f R_t^T K_t^-1."""
     dt = cam12.dtype
     cf, ct = cam12[:6], cam12[6:]
     Hf = _K(cf[0], cf[1], cf[2], dt) @ rodrigues(cf[3:6])
     Ht = rodrigues(ct[3:6]).T @ _K_inv(ct[0], ct[1], ct[2], dt)
     H = Hf @ Ht
-    xyz = jnp.concatenate([pts_to, jnp.ones_like(pts_to[..., :1])], -1)
-    proj = xyz @ H.T
-    z = proj[..., 2]
+    xyz = jnp.concatenate([pt_to, jnp.ones_like(pt_to[..., :1])], -1)
+    proj = H @ xyz
+    z = proj[2]
     zsafe = jnp.where(jnp.abs(z) > 1e-20, z, 1e-20)
-    r = pts_from - proj[..., :2] / zsafe[..., None]
-    return jnp.where(valid[..., None], r, 0.0)
+    return pt_from - proj[:2] / zsafe
 
 
 def _gather_cam12(params, prob):
-    """[P,12] stacked (from, to) camera params per pair."""
+    """[T,12] stacked (from, to) camera params per point."""
     return jnp.concatenate(
-        [params[prob.from_idx].reshape(-1, 6), params[prob.to_idx].reshape(-1, 6)],
-        axis=-1,
+        [params[prob.cam_from], params[prob.cam_to]], axis=-1
     )
 
 
 def _residuals(params, prob):
     cam12 = _gather_cam12(params, prob)
-    r = jax.vmap(_pair_residual)(cam12, prob.pts_to, prob.pts_from, prob.valid)
-    return r * prob.pair_active[:, None, None]          # [P,M,2]
+    r = jax.vmap(_point_residual)(cam12, prob.pt_to, prob.pt_from)
+    return r * prob.w[:, None]                          # [T,2]
 
 
 def _rms(r, prob):
     """sqrt(mean of squared residuals) over active points (.cc:199-220)."""
-    npts = jnp.sum(jnp.sum(prob.valid, 1) * prob.pair_active) * 2.0
+    npts = jnp.sum(prob.w) * 2.0
     return jnp.sqrt(jnp.sum(r * r) / jnp.maximum(npts, 1.0))
 
 
 def _normal_equations(params, residuals, prob, n_cam):
-    """JtJ [6n,6n] and Jtb [6n] via per-pair jacfwd + block scatter-add."""
-    jac_fn = jax.vmap(
-        jax.jacfwd(_pair_residual), in_axes=(0, 0, 0, 0)
-    )
+    """JtJ [6n,6n] and Jtb [6n] via per-point jacfwd + block scatter-add."""
     cam12 = _gather_cam12(params, prob)
-    Jp = jac_fn(cam12, prob.pts_to, prob.pts_from, prob.valid)   # [P,M,2,12]
-    Jp = Jp * prob.pair_active[:, None, None, None]
-    B = jnp.einsum("pmti,pmtj->pij", Jp, Jp)                     # [P,12,12]
-    b = jnp.einsum("pmti,pmt->pi", Jp, residuals)                # [P,12]
+    Jp = jax.vmap(jax.jacfwd(_point_residual))(
+        cam12, prob.pt_to, prob.pt_from
+    )                                                   # [T,2,12]
+    Jp = Jp * prob.w[:, None, None]
+    B = jnp.einsum("tki,tkj->tij", Jp, Jp)              # [T,12,12]
+    b = jnp.einsum("tki,tk->ti", Jp, residuals)         # [T,12]
 
     n6 = n_cam * 6
-    JtJ = jnp.zeros((n6, n6), params.dtype)
-    Jtb = jnp.zeros((n6,), params.dtype)
     offs = jnp.arange(6)
     rows = jnp.concatenate(
-        [prob.from_idx[:, None] * 6 + offs, prob.to_idx[:, None] * 6 + offs], 1
-    )                                                            # [P,12]
+        [prob.cam_from[:, None] * 6 + offs, prob.cam_to[:, None] * 6 + offs], 1
+    )                                                   # [T,12]
+    JtJ = jnp.zeros((n6, n6), params.dtype)
     JtJ = JtJ.at[rows[:, :, None], rows[:, None, :]].add(B)
-    Jtb = Jtb.at[rows].add(b)
+    Jtb = jnp.zeros((n6,), params.dtype).at[rows].add(b)
     return JtJ, Jtb
 
 
@@ -175,3 +171,20 @@ def ba_optimize(params: jnp.ndarray, prob: BAProblem, identity_idx: jnp.ndarray,
     init = (flat0, r0, err0, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
     best_flat, _, _, _, _ = jax.lax.while_loop(cond, body, init)
     return best_flat.reshape(n_cam, 6)
+
+
+def pairs_to_points(from_idx, to_idx, pts_to, pts_from, valid, pair_active):
+    """Convert a pair-major [P,M] problem to point-major (jit-safe: no
+    compaction — weights select).  Used by the sharded pipeline; the
+    estimator compacts on host instead."""
+    P, M = valid.shape
+    rep = lambda a: jnp.repeat(a, M)
+    w = (valid.reshape(-1).astype(pts_to.dtype)
+         * jnp.repeat(pair_active, M).astype(pts_to.dtype))
+    return BAProblem(
+        cam_from=rep(from_idx),
+        cam_to=rep(to_idx),
+        pt_to=pts_to.reshape(P * M, 2),
+        pt_from=pts_from.reshape(P * M, 2),
+        w=w,
+    )

@@ -101,38 +101,48 @@ def estimate_cameras(
 
     root, edges = traverse_spanning_tree(confidence)
 
-    # ---- build the static BA problem over all confident unordered pairs ----
+    # ---- build the static point-major BA problem over all confident
+    # unordered pairs: compact every valid match point into flat [T] arrays
+    # (the pair-major [P,M] layout is mostly padding; compaction makes each
+    # LM iteration ~|inliers| work instead of P*M) ----
     conn = [(i, j) for i in range(n) for j in range(i + 1, n)
             if confidence[i, j] > 0 and valid[i, j].any()]
     pair_slot = {p: s for s, p in enumerate(conn)}
     P = max(len(conn), 1)
-    M = to_pos.shape[2]
-    b_from = np.zeros(P, np.int32)
-    b_to = np.zeros(P, np.int32)
-    b_pts_to = np.zeros((P, M, 2))
-    b_pts_from = np.zeros((P, M, 2))
-    b_valid = np.zeros((P, M), bool)
+    pt_pair, pt_a, pt_b, pt_to_a, pt_from_b = [], [], [], [], []
+    for s, (a, b) in enumerate(conn):
+        m = valid[a, b]
+        cnt = int(m.sum())
+        pt_pair.append(np.full(cnt, s, np.int32))
+        pt_a.append(np.full(cnt, a, np.int32))
+        pt_b.append(np.full(cnt, b, np.int32))
+        pt_to_a.append(to_pos[a, b][m])      # coords in image a (stored 'to')
+        pt_from_b.append(from_pos[a, b][m])  # coords in image b (stored 'from')
+    if pt_pair:
+        pt_pair = np.concatenate(pt_pair)
+        pt_a = np.concatenate(pt_a)
+        pt_b = np.concatenate(pt_b)
+        pt_to_a = np.concatenate(pt_to_a)
+        pt_from_b = np.concatenate(pt_from_b)
+    else:
+        pt_pair = np.zeros(0, np.int32)
+        pt_a = pt_b = pt_pair
+        pt_to_a = pt_from_b = np.zeros((0, 2))
+
     pair_active = np.zeros(P)
+    # True when the traverse-chosen orientation has to=b (swapped vs stored)
+    pair_swapped = np.zeros(P, bool)
 
     visited = {root}
 
     def activate_pair(i, nxt) -> bool:
-        """add_match(i, next) (camera_estimator.cc:76-88): from=i, to=next;
-        match coords oriented to live in (to, from) images."""
+        """add_match(i, next) (camera_estimator.cc:76-88): from=i, to=next."""
         key = (min(i, nxt), max(i, nxt))
         if key not in pair_slot:
             return False
         s = pair_slot[key]
-        b_from[s], b_to[s] = i, nxt
-        # stored (to_pos, from_pos) arrays are for homos[a,b]: a=to, b=from
-        a, b = key
-        if a == nxt:   # stored 'to' image is nxt
-            b_pts_to[s] = to_pos[a, b]
-            b_pts_from[s] = from_pos[a, b]
-        else:          # stored 'to' image is i; swap orientation
-            b_pts_to[s] = from_pos[a, b]
-            b_pts_from[s] = to_pos[a, b]
-        b_valid[s] = valid[a, b]
+        # stored orientation: to=a, from=b
+        pair_swapped[s] = (key[1] == nxt)   # to must be nxt
         pair_active[s] = 1.0
         return True
 
@@ -144,14 +154,19 @@ def estimate_cameras(
 
     def run_ba():
         nonlocal params
+        swap = pair_swapped[pt_pair]
+        cam_to = np.where(swap, pt_b, pt_a)
+        cam_from = np.where(swap, pt_a, pt_b)
+        p_to = np.where(swap[:, None], pt_from_b, pt_to_a)
+        p_from = np.where(swap[:, None], pt_to_a, pt_from_b)
+        w = pair_active[pt_pair]
         with ba_ctx():
             prob = BAProblem(
-                from_idx=jnp.asarray(b_from),
-                to_idx=jnp.asarray(b_to),
-                pts_to=jnp.asarray(b_pts_to),
-                pts_from=jnp.asarray(b_pts_from),
-                valid=jnp.asarray(b_valid),
-                pair_active=jnp.asarray(pair_active),
+                cam_from=jnp.asarray(cam_from),
+                cam_to=jnp.asarray(cam_to),
+                pt_to=jnp.asarray(p_to),
+                pt_from=jnp.asarray(p_from),
+                w=jnp.asarray(w),
             )
             params = np.array(
                 ba_optimize(

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..camera.bundle_adjuster import BAProblem, _normal_equations
+from ..camera.bundle_adjuster import _normal_equations, pairs_to_points
 from ..config import Config
 from ..geometry.ransac import estimate_transform
 from ..match.matcher import match_pair
@@ -105,16 +105,16 @@ def sharded_pipeline_step(imgs, whs, ii, jj, key, cfg: Config, mesh: Mesh,
         infos = jax.tree_util.tree_map(lambda a: _constraint(mesh, a, "d"), infos)
 
         # ---- stage 3: one BA normal-equation assembly + solve ----
-        prob = BAProblem(
-            from_idx=ii, to_idx=jj,
-            pts_to=infos.to_pos.astype(jnp.float64),
-            pts_from=infos.from_pos.astype(jnp.float64),
-            valid=infos.valid,
-            pair_active=((infos.confidence > 0) & pair_mask).astype(jnp.float64),
+        prob = pairs_to_points(
+            ii, jj,
+            infos.to_pos.astype(jnp.float64),
+            infos.from_pos.astype(jnp.float64),
+            infos.valid,
+            ((infos.confidence > 0) & pair_mask).astype(jnp.float64),
         )
         params = jnp.zeros((n, 6), jnp.float64)
         params = params.at[:, 0].set((whs[:, 0] + whs[:, 1]) * 0.5)
-        resid = jnp.zeros((nP, prob.valid.shape[1], 2), jnp.float64)
+        resid = jnp.zeros((prob.w.shape[0], 2), jnp.float64)
         JtJ, Jtb = _normal_equations(params, resid, prob, n)
         delta = jnp.linalg.solve(
             JtJ + jnp.eye(n * 6, dtype=jnp.float64), Jtb[:, None]

@@ -22,7 +22,7 @@ from ..camera.camera import estimate_focal, intrinsic
 from ..camera.estimator import estimate_cameras
 from ..geometry.ransac import estimate_transform_batch
 from ..match.matcher import match_all_pairs, match_pair, pair_indices, MatchResult
-from .render import plan_render, blend_linear
+from .render import plan_render, blend
 from .stitcherbase import compute_features
 
 

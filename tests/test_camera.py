@@ -10,7 +10,7 @@ from openpano_tpu.camera.rotation import rodrigues, rotation_to_angle
 from openpano_tpu.camera.camera import (
     CameraSet, estimate_focal, focal_from_homography, intrinsic, straighten,
 )
-from openpano_tpu.camera.bundle_adjuster import BAProblem, ba_optimize
+from openpano_tpu.camera.bundle_adjuster import ba_optimize, pairs_to_points
 from openpano_tpu.camera.estimator import estimate_cameras, traverse_spanning_tree
 
 
@@ -119,18 +119,16 @@ class TestBundleAdjuster:
         conf, homos, to_pos, from_pos, valid, f, Rs = synth_rotation_pano(
             rng, n=3, noise=0.3
         )
-        n, M = 3, to_pos.shape[2]
-        # pairs (from=i, to=i+1)
-        P = 2
-        prob = BAProblem(
-            from_idx=jnp.asarray([0, 1]),
-            to_idx=jnp.asarray([1, 2]),
-            pts_to=jnp.asarray(np.stack([from_pos[0, 1], from_pos[1, 2]])),
-            pts_from=jnp.asarray(np.stack([to_pos[0, 1], to_pos[1, 2]])),
-            valid=jnp.asarray(np.stack([valid[0, 1], valid[1, 2]])),
-            pair_active=jnp.ones(P),
+        n = 3
+        # pairs (from=i, to=i+1); stored to_pos[i,j] lives in image i = BA
+        # 'from'; from_pos in j = BA 'to'
+        prob = pairs_to_points(
+            jnp.asarray([0, 1]), jnp.asarray([1, 2]),
+            jnp.asarray(np.stack([from_pos[0, 1], from_pos[1, 2]])),
+            jnp.asarray(np.stack([to_pos[0, 1], to_pos[1, 2]])),
+            jnp.asarray(np.stack([valid[0, 1], valid[1, 2]])),
+            jnp.ones(2),
         )
-        # ^ stored to_pos[i,j] lives in image i = BA 'from'; from_pos in j = BA 'to'
         params = np.zeros((n, 6))
         params[:, 0] = f * 1.1  # perturbed focal
         for i, y in enumerate([-0.15, 0.0, 0.15]):
@@ -147,13 +145,12 @@ class TestBundleAdjuster:
 
     def test_identity_rotation_frozen(self, rng):
         conf, homos, to_pos, from_pos, valid, f, Rs = synth_rotation_pano(rng, n=3)
-        prob = BAProblem(
-            from_idx=jnp.asarray([0, 1]),
-            to_idx=jnp.asarray([1, 2]),
-            pts_to=jnp.asarray(np.stack([from_pos[0, 1], from_pos[1, 2]])),
-            pts_from=jnp.asarray(np.stack([to_pos[0, 1], to_pos[1, 2]])),
-            valid=jnp.asarray(np.stack([valid[0, 1], valid[1, 2]])),
-            pair_active=jnp.ones(2),
+        prob = pairs_to_points(
+            jnp.asarray([0, 1]), jnp.asarray([1, 2]),
+            jnp.asarray(np.stack([from_pos[0, 1], from_pos[1, 2]])),
+            jnp.asarray(np.stack([to_pos[0, 1], to_pos[1, 2]])),
+            jnp.asarray(np.stack([valid[0, 1], valid[1, 2]])),
+            jnp.ones(2),
         )
         params = np.zeros((3, 6))
         params[:, 0] = f
