@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import Config
+from ..ops.compact import compact_indices
 from ..match.matcher import MatchResult
 from .dlt import normalized_transform
 from .homography import (
@@ -141,7 +142,7 @@ def estimate_transform(
     )
 
     # compact inliers to the front of the match buffer
-    keep = jnp.nonzero(inlier_mask, size=M, fill_value=0)[0]
+    keep, _ = compact_indices(inlier_mask, M)
     out_valid = (jnp.arange(M) < n_inlier) & success
     confidence = jnp.where(success, conf, -n_inlier.astype(jnp.float32))
     return MatchInfo(

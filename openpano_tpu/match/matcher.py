@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import Config
+from ..ops.compact import compact_indices
 
 
 class MatchResult(NamedTuple):
@@ -102,8 +103,8 @@ def match_pair_from_dists(d2: jnp.ndarray, desc_i: jnp.ndarray, desc_j: jnp.ndar
     ok &= valid_i & valid_j[fwd_idx] & valid_j[fwd_idx2]
 
     M = cfg.MAX_MATCHES_PER_PAIR
-    keep = jnp.nonzero(ok, size=M, fill_value=0)[0]
-    count = jnp.sum(ok).astype(jnp.int32)
+    keep, count = compact_indices(ok, M)
+    count = count.astype(jnp.int32)
     mvalid = jnp.arange(M) < count
     pairs = jnp.stack([keep, fwd_idx[keep]], axis=-1).astype(jnp.int32)
     pairs = jnp.where(mvalid[:, None], pairs, 0)

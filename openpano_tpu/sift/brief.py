@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import Config
+from ..ops.compact import compact_indices
 from ..match.matcher import MatchResult
 
 BRIEF_PATCH_SIZE = 9   # lib/config.hh:82
@@ -119,8 +120,8 @@ def match_brief(desc_i, valid_i, desc_j, valid_j, cfg: Config) -> MatchResult:
     ok &= valid_i & (fwd_d1 < big)
 
     M = cfg.MAX_MATCHES_PER_PAIR
-    keep = jnp.nonzero(ok, size=M, fill_value=0)[0]
-    count = jnp.sum(ok).astype(jnp.int32)
+    keep, count = compact_indices(ok, M)
+    count = count.astype(jnp.int32)
     mvalid = jnp.arange(M) < count
     pairs = jnp.stack([keep, fwd_idx[keep]], axis=-1).astype(jnp.int32)
     return MatchResult(

@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import Config
+from ..ops.compact import compact_indices
 from .descriptor import Features, compute_descriptors
 from .extrema import detect_extrema
 from .orientation import assign_orientation
@@ -47,8 +48,7 @@ def detect_and_describe(working_img: jnp.ndarray, orig_wh: jnp.ndarray, cfg: Con
 
     # compact across octaves to the per-image cap
     K = cfg.MAX_KP_PER_IMAGE
-    keep = jnp.nonzero(valid, size=K, fill_value=0)[0]
-    n = jnp.sum(valid)
+    keep, n = compact_indices(valid, K)
     kvalid = jnp.arange(K) < n
 
     pos = jnp.stack(

@@ -28,6 +28,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from ..config import Config
+from ..ops.compact import compact_indices
 from .pyramid import Octave
 
 
@@ -120,10 +121,9 @@ def detect_extrema(octave: Octave, cfg: Config) -> RawKeypoints:
     ns = cfg.NUM_SCALE
 
     cand = _candidate_mask(dog, cfg)
-    flat_idx = jnp.nonzero(
-        cand.reshape(-1), size=cfg.MAX_CAND_PER_OCTAVE, fill_value=0
-    )[0]
-    n_cand = jnp.sum(cand)
+    flat_idx, n_cand = compact_indices(
+        cand.reshape(-1), cfg.MAX_CAND_PER_OCTAVE
+    )
     lane = jnp.arange(cfg.MAX_CAND_PER_OCTAVE)
     alive = lane < n_cand
 
@@ -196,8 +196,7 @@ def detect_extrema(octave: Octave, cfg: Config) -> RawKeypoints:
     ok = ok & not_edge
 
     # compact survivors to the keypoint cap
-    keep = jnp.nonzero(ok, size=cfg.MAX_KP_PER_OCTAVE, fill_value=0)[0]
-    n_keep = jnp.sum(ok)
+    keep, n_keep = compact_indices(ok, cfg.MAX_KP_PER_OCTAVE)
     kvalid = jnp.arange(cfg.MAX_KP_PER_OCTAVE) < n_keep
 
     scale_factor = cfg.GAUSS_SIGMA * jnp.power(

@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import Config
+from ..ops.compact import compact_indices
 from .extrema import RawKeypoints
 from .pyramid import Octave
 
@@ -123,8 +124,7 @@ def assign_orientation(kp: RawKeypoints, octave: Octave, cfg: Config) -> Oriente
     # flatten orientation slots and compact to the descriptor cap
     M = cfg.MAX_ORI_PER_KP
     flat_ok = ok.reshape(-1)
-    keep = jnp.nonzero(flat_ok, size=cfg.MAX_DESC_PER_OCTAVE, fill_value=0)[0]
-    n_keep = jnp.sum(flat_ok)
+    keep, n_keep = compact_indices(flat_ok, cfg.MAX_DESC_PER_OCTAVE)
     kvalid = jnp.arange(cfg.MAX_DESC_PER_OCTAVE) < n_keep
     kp_idx = keep // M
 

@@ -22,6 +22,7 @@ from ..camera.camera import estimate_focal, intrinsic
 from ..camera.estimator import estimate_cameras
 from ..geometry.ransac import estimate_transform_batch
 from ..match.matcher import match_all_pairs, match_pair, pair_indices, MatchResult
+from ..utils.timer import total_timer
 from .render import plan_render, blend
 from .stitcherbase import compute_features
 
@@ -100,18 +101,22 @@ def stitch(imgs: np.ndarray, cfg: Config, key=None) -> np.ndarray:
     n, H, W = imgs.shape[0], imgs.shape[1], imgs.shape[2]
     mid = n >> 1                                  # assign_center, stitcher.cc:138-141
 
-    feats = compute_features(imgs, cfg)
+    with total_timer("calc_feature"):
+        feats = compute_features(imgs, cfg)
+        jax.block_until_ready(feats)
     whs = jnp.broadcast_to(jnp.asarray([W, H], jnp.float32), (n, 2))
-    graph = build_pairwise_graph(
-        feats, whs, cfg, key, ordered=cfg.ORDERED_INPUT, affine=cfg.TRANS
-    )
+    with total_timer("pairwise_match"):
+        graph = build_pairwise_graph(
+            feats, whs, cfg, key, ordered=cfg.ORDERED_INPUT, affine=cfg.TRANS
+        )
 
     whs_np = np.repeat([[float(W), float(H)]], n, 0)
     if cfg.ESTIMATE_CAMERA:
-        cams = estimate_cameras(
-            graph.conf, graph.homo, graph.to_pos, graph.from_pos, graph.valid,
-            whs_np, cfg,
-        )
+        with total_timer("estimate_camera"):
+            cams = estimate_cameras(
+                graph.conf, graph.homo, graph.to_pos, graph.from_pos, graph.valid,
+                whs_np, cfg,
+            )
         homos = np.zeros((n, 3, 3))
         for i in range(n):                        # stitcher.cc:143-154
             K = intrinsic(cams.focal[i], cams.ppx[i], cams.ppy[i])
@@ -121,9 +126,11 @@ def stitch(imgs: np.ndarray, cfg: Config, key=None) -> np.ndarray:
         homos = _build_linear_simple(graph, n, mid, whs_np, cfg)
         proj = "flat"
 
-    plan = plan_render(homos, whs_np, mid, proj, cfg.MAX_OUTPUT_SIZE)
-    canvas = blend(imgs, plan, ordered=cfg.ORDERED_INPUT, multiband=cfg.MULTIBAND)
-    return np.asarray(canvas)
+    with total_timer("blend"):
+        plan = plan_render(homos, whs_np, mid, proj, cfg.MAX_OUTPUT_SIZE)
+        canvas = blend(imgs, plan, ordered=cfg.ORDERED_INPUT, multiband=cfg.MULTIBAND)
+        canvas = np.asarray(canvas)
+    return canvas
 
 
 def _build_linear_simple(graph: PairwiseGraph, n: int, mid: int,
