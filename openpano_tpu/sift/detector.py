@@ -25,6 +25,18 @@ from .orientation import assign_orientation
 from .pyramid import build_scale_space
 
 
+def octave_caps(cfg: Config, octave_index: int) -> tuple[int, int, int]:
+    """(cand, keypoint, descriptor) caps for one octave: the base per-octave
+    caps halved per octave (>= 128, multiples of 16 for the window kernel)."""
+    def scale(base):
+        return max(base >> octave_index, 128)
+    return (
+        scale(cfg.MAX_CAND_PER_OCTAVE),
+        scale(cfg.MAX_KP_PER_OCTAVE),
+        scale(cfg.MAX_DESC_PER_OCTAVE),
+    )
+
+
 def detect_and_describe(working_img: jnp.ndarray, orig_wh: jnp.ndarray, cfg: Config) -> Features:
     """working_img: [H, W, 3] float32 (already at SIFT working size).
     orig_wh: [2] float (original image width, height) for coordinate output.
@@ -32,9 +44,12 @@ def detect_and_describe(working_img: jnp.ndarray, orig_wh: jnp.ndarray, cfg: Con
     octaves = build_scale_space(working_img, cfg)
 
     real_xs, real_ys, descs, valids = [], [], [], []
-    for octave in octaves:
-        raw = detect_extrema(octave, cfg)
-        oriented = assign_orientation(raw, octave, cfg)
+    for oi, octave in enumerate(octaves):
+        # octave image area halves per octave (SCALE_FACTOR = sqrt(2)), so
+        # the fixed-shape caps shrink with it — keeps padded work bounded
+        caps = octave_caps(cfg, oi)
+        raw = detect_extrema(octave, cfg, cap_cand=caps[0], cap_kp=caps[1])
+        oriented = assign_orientation(raw, octave, cfg, cap=caps[2])
         desc = compute_descriptors(oriented, octave, cfg)
         real_xs.append(oriented.real_x)
         real_ys.append(oriented.real_y)

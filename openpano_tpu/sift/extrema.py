@@ -115,16 +115,17 @@ def _solve3x3(hess, grad):
     return ox, oy, os_, ok
 
 
-def detect_extrema(octave: Octave, cfg: Config) -> RawKeypoints:
+def detect_extrema(octave: Octave, cfg: Config, cap_cand: int | None = None,
+                   cap_kp: int | None = None) -> RawKeypoints:
     dog = octave.dog
     L, h, w = dog.shape
     ns = cfg.NUM_SCALE
+    cap_cand = cfg.MAX_CAND_PER_OCTAVE if cap_cand is None else cap_cand
+    cap_kp = cfg.MAX_KP_PER_OCTAVE if cap_kp is None else cap_kp
 
     cand = _candidate_mask(dog, cfg)
-    flat_idx, n_cand = compact_indices(
-        cand.reshape(-1), cfg.MAX_CAND_PER_OCTAVE
-    )
-    lane = jnp.arange(cfg.MAX_CAND_PER_OCTAVE)
+    flat_idx, n_cand = compact_indices(cand.reshape(-1), cap_cand)
+    lane = jnp.arange(cap_cand)
     alive = lane < n_cand
 
     s = (flat_idx // (h * w)).astype(jnp.int32)
@@ -196,8 +197,8 @@ def detect_extrema(octave: Octave, cfg: Config) -> RawKeypoints:
     ok = ok & not_edge
 
     # compact survivors to the keypoint cap
-    keep, n_keep = compact_indices(ok, cfg.MAX_KP_PER_OCTAVE)
-    kvalid = jnp.arange(cfg.MAX_KP_PER_OCTAVE) < n_keep
+    keep, n_keep = compact_indices(ok, cap_kp)
+    kvalid = jnp.arange(cap_kp) < n_keep
 
     scale_factor = cfg.GAUSS_SIGMA * jnp.power(
         cfg.SCALE_FACTOR, (sc.astype(jnp.float32) + os_) / ns

@@ -10,9 +10,11 @@ Reference behavior (feature/orientation.cc):
 - Every strict local peak >= 0.8*max emits one orientation with parabolic
   interpolation (orientation.cc:77-98); one keypoint can yield several.
 
-TPU-native design: a static (2R)^2 window per keypoint (R bounds the maximal
-dynamic radius), gathered batched; the histogram is a masked one-hot
-contraction (MXU), peaks are extracted with top-k into MAX_ORI_PER_KP slots.
+TPU-native design: per-keypoint [WR, 128] slabs of the mag/ort planes are
+DMA'd by the Pallas window kernel (ops/windows.py); the 36-bin histogram is
+36 fused masked reductions over the slab grid (bounded by slab HBM traffic,
+no scatter and no one-hot materialization); peaks are extracted with top-k
+into MAX_ORI_PER_KP slots.
 """
 
 from __future__ import annotations
@@ -24,6 +26,7 @@ import jax.numpy as jnp
 
 from ..config import Config
 from ..ops.compact import compact_indices
+from ..ops.windows import gather_window_slabs, slab_rows, window_starts, SLAB_LANES
 from .extrema import RawKeypoints
 from .pyramid import Octave
 
@@ -55,50 +58,51 @@ def _round_half_away(x):
     return jnp.floor(jnp.abs(x) + 0.5) * jnp.sign(x)
 
 
-def gather_windows(plane: jnp.ndarray, s, y, x, offs_y, offs_x):
-    """Gather plane[s, y+dy, x+dx] for a static offset grid.
-
-    plane: [S, H, W]; s,y,x: [K] ints; offs_y/offs_x: [P] ints.
-    Returns [K, P] (coords are clipped; caller masks out-of-range lanes).
-    """
-    S, H, W = plane.shape
-    yy = jnp.clip(y[:, None] + offs_y[None, :], 0, H - 1)
-    xx = jnp.clip(x[:, None] + offs_x[None, :], 0, W - 1)
-    return plane[s[:, None], yy, xx]
+def slab_offsets(y, x, H: int, W: int, WR: int):
+    """Per-lane (dy, dx) offsets of a [K, WR, 128] slab relative to its
+    keypoint, as broadcastable [K, WR, 1] / [K, 1, 128] int32."""
+    r0, c0 = window_starts(y, x, H, W, WR)
+    dy = (r0[:, None] + jnp.arange(WR, dtype=jnp.int32))[:, :, None] - y[:, None, None]
+    dx = (c0[:, None] + jnp.arange(SLAB_LANES, dtype=jnp.int32))[:, None, :] - x[:, None, None]
+    return dy, dx
 
 
-def assign_orientation(kp: RawKeypoints, octave: Octave, cfg: Config) -> OrientedKeypoints:
-    K = kp.x.shape[0]
+def _hist_by_bins(wgt: jnp.ndarray, bins: jnp.ndarray, nbins: int) -> jnp.ndarray:
+    """hist[k, b] = sum of wgt where bins == b; fused masked reductions."""
+    cols = [
+        jnp.sum(jnp.where(bins == b, wgt, 0.0), axis=(1, 2)) for b in range(nbins)
+    ]
+    return jnp.stack(cols, axis=-1)
+
+
+def assign_orientation(kp: RawKeypoints, octave: Octave, cfg: Config,
+                       cap: int | None = None) -> OrientedKeypoints:
     nbins = cfg.ORI_HIST_BIN_NUM
+    cap = cfg.MAX_DESC_PER_OCTAVE if cap is None else cap
     R = ori_window_radius(cfg)
-    # window offsets: [-R, R-1] per axis (orientation.cc:55-58)
-    d = jnp.arange(-R, R)
-    offs_y = jnp.repeat(d, 2 * R)
-    offs_x = jnp.tile(d, 2 * R)
-    r2 = (offs_y ** 2 + offs_x ** 2).astype(jnp.float32)  # [P]
+    WR = slab_rows(R)
 
     _, H, W = octave.mag.shape
-    mag = gather_windows(octave.mag, kp.s, kp.y, kp.x, offs_y, offs_x)  # [K,P]
-    ort = gather_windows(octave.ort, kp.s, kp.y, kp.x, offs_y, offs_x)
+    mag, ort = gather_window_slabs(octave.mag, octave.ort, kp.s, kp.y, kp.x, WR)
+    dy, dx = slab_offsets(kp.y, kp.x, H, W, WR)
+    r2 = (dy * dy + dx * dx).astype(jnp.float32)                    # [K,WR,128]
 
-    rad = _round_half_away(kp.scale_factor * cfg.ORI_RADIUS)[:, None]  # [K,1]
-    newy = kp.y[:, None] + offs_y[None, :]
-    newx = kp.x[:, None] + offs_x[None, :]
+    # circular window of per-keypoint radius (orientation.cc:47-58)
+    rad = _round_half_away(kp.scale_factor * cfg.ORI_RADIUS)[:, None, None]
+    newy = kp.y[:, None, None] + dy
+    newx = kp.x[:, None, None] + dx
     inside = (
-        (offs_y[None, :] >= -rad) & (offs_y[None, :] <= rad - 1)
-        & (offs_x[None, :] >= -rad) & (offs_x[None, :] <= rad - 1)
-        & (r2[None, :] <= rad * rad)
+        (dy >= -rad) & (dy <= rad - 1) & (dx >= -rad) & (dx <= rad - 1)
+        & (r2 <= rad * rad)
         & (newx >= 1) & (newx <= W - 2) & (newy >= 1) & (newy <= H - 2)
     )
     sigma = kp.scale_factor * cfg.ORI_WINDOW_FACTOR
-    exp_denom = 2.0 * sigma * sigma
-    wgt = jnp.exp(-r2[None, :] / exp_denom[:, None]) * mag
-    wgt = jnp.where(inside, wgt, 0.0)
+    exp_denom = (2.0 * sigma * sigma)[:, None, None]
+    wgt = jnp.where(inside, jnp.exp(-r2 / exp_denom) * mag, 0.0)
 
     # hard binning: bin = round(nbins * ort / 2pi), nbins -> 0 (orientation.cc:59-62)
     bins = _round_half_away(nbins * ort / (2.0 * jnp.pi)).astype(jnp.int32) % nbins
-    onehot = (bins[:, :, None] == jnp.arange(nbins)[None, None, :]).astype(jnp.float32)
-    hist = jnp.einsum("kp,kpb->kb", wgt, onehot)  # [K, nbins]
+    hist = _hist_by_bins(wgt, bins, nbins)                          # [K, nbins]
 
     for _ in range(cfg.ORI_HIST_SMOOTH_COUNT):
         hist = hist * 0.5 + (jnp.roll(hist, 1, axis=1) + jnp.roll(hist, -1, axis=1)) * 0.25
@@ -124,8 +128,8 @@ def assign_orientation(kp: RawKeypoints, octave: Octave, cfg: Config) -> Oriente
     # flatten orientation slots and compact to the descriptor cap
     M = cfg.MAX_ORI_PER_KP
     flat_ok = ok.reshape(-1)
-    keep, n_keep = compact_indices(flat_ok, cfg.MAX_DESC_PER_OCTAVE)
-    kvalid = jnp.arange(cfg.MAX_DESC_PER_OCTAVE) < n_keep
+    keep, n_keep = compact_indices(flat_ok, cap)
+    kvalid = jnp.arange(cap) < n_keep
     kp_idx = keep // M
 
     return OrientedKeypoints(

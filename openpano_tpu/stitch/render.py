@@ -122,6 +122,115 @@ def plan_render(homos: np.ndarray, whs: np.ndarray, identity_idx: int,
     )
 
 
+_TILE = 256  # canvas tile edge for the tiled blender
+
+
+def _tile_work(ranges: np.ndarray, out_h: int, out_w: int,
+               tile: int = _TILE) -> tuple[np.ndarray, np.ndarray, int, int]:
+    """Host-side work plan: one item per (canvas tile, covering image).
+
+    The reference's LAZY_READ blender iterates whole images over the whole
+    canvas (blender.cc:38-76); on TPU that wastes ~n_images x the canvas
+    bandwidth in inverse-warp gathers.  Each image's projected bbox
+    (``ranges``, computed at plan time like ConnectedImages::ImageComponent
+    ::range at stitcher_image.cc:59-75) bounds which tiles it can touch, so
+    the device only renders intersecting (tile, image) pairs.  Padded to a
+    bucketed length to limit recompiles.
+    """
+    ny = -(-out_h // tile)
+    nx = -(-out_w // tile)
+    tis, iis = [], []
+    for ty in range(ny):
+        for tx in range(nx):
+            y0, y1 = ty * tile, (ty + 1) * tile
+            x0, x1 = tx * tile, (tx + 1) * tile
+            for i in range(ranges.shape[0]):
+                rx0, ry0, rx1, ry1 = ranges[i]
+                if rx0 < x1 and rx1 > x0 and ry0 < y1 and ry1 > y0:
+                    tis.append(ty * nx + tx)
+                    iis.append(i)
+    P = max(len(tis), 1)
+    P = -(-P // 16) * 16
+    ti = np.full(P, -1, np.int32)
+    ii = np.zeros(P, np.int32)
+    ti[: len(tis)] = tis
+    ii[: len(iis)] = iis
+    return ti, ii, ny, nx
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("proj", "out_h", "out_w", "ordered", "ny", "nx", "tile"),
+)
+def _blend_linear_tiled(imgs, homo_invs, whs, ranges, proj_min, resolution,
+                        work_ti, work_ii, proj: str, out_h: int, out_w: int,
+                        ordered: bool, ny: int, nx: int, tile: int = _TILE):
+    """Tiled linear blender: vmap over (tile, image) work items, then a
+    block segment-sum over tiles.  Work scales with covered area, not
+    n_images x canvas."""
+    _, proj2homo = PROJECTIONS[proj]
+    imgs = imgs.astype(jnp.float32)
+    T = tile
+    t_ar = jnp.arange(T, dtype=jnp.float32)
+
+    def item(ti, ii):
+        alive = ti >= 0
+        tis = jnp.maximum(ti, 0)
+        ty = (tis // nx).astype(jnp.float32)
+        tx = (tis % nx).astype(jnp.float32)
+        cx = (tx * T + t_ar) * resolution[0] + proj_min[0]
+        cy = (ty * T + t_ar) * resolution[1] + proj_min[1]
+        cgrid = jnp.stack(
+            [jnp.broadcast_to(cx[None, :], (T, T)),
+             jnp.broadcast_to(cy[:, None], (T, T))], axis=-1
+        )
+        hm = proj2homo(cgrid)                                  # [T,T,3]
+        ret = jnp.einsum("hwc,dc->hwd", hm, homo_invs[ii].astype(jnp.float32))
+        z = ret[..., 2]
+        zsafe = jnp.where(jnp.abs(z) > 1e-20, z, 1e-20)
+        sx = ret[..., 0] / zsafe + whs[ii, 0] * 0.5
+        sy = ret[..., 1] / zsafe + whs[ii, 1] * 0.5
+        color, ok = sample_bilinear(imgs[ii], sy, sx)
+        w = 0.5 - jnp.abs(sx / whs[ii, 0] - 0.5)
+        if not ordered:  # blend both directions (blender.cc:33-35)
+            w = w * (0.5 - jnp.abs(sy / whs[ii, 1] - 0.5))
+        # absolute canvas coords of this tile, clipped to the image bbox
+        ax = tx * T + t_ar[None, :]
+        ay = ty * T + t_ar[:, None]
+        x0, y0, x1, y1 = ranges[ii, 0], ranges[ii, 1], ranges[ii, 2], ranges[ii, 3]
+        in_bbox = (ax >= x0) & (ax < x1) & (ay >= y0) & (ay < y1)
+        m = ok & (z > 0) & in_bbox & alive
+        wm = jnp.where(m, w, 0.0)
+        return jnp.where(m[..., None], color, 0.0) * wm[..., None], wm
+
+    # scan (not vmap) over work items: per-item image access is a dynamic
+    # slice and each bilinear tap a plain 2-D gather — the vmapped
+    # formulation lowers to batched gathers/scatters that TPU executes
+    # element-at-a-time
+    def step(acc, work):
+        ti, ii = work
+        color_acc, w_acc = acc
+        wc, wm = item(ti, ii)
+        tis = jnp.maximum(ti, 0)
+        oy = (tis // nx) * T
+        ox = (tis % nx) * T
+        zero = jnp.int32(0)
+        cur_c = jax.lax.dynamic_slice(color_acc, (oy, ox, zero), (T, T, 3))
+        cur_w = jax.lax.dynamic_slice(w_acc, (oy, ox), (T, T))
+        color_acc = jax.lax.dynamic_update_slice(color_acc, cur_c + wc, (oy, ox, zero))
+        w_acc = jax.lax.dynamic_update_slice(w_acc, cur_w + wm, (oy, ox))
+        return (color_acc, w_acc), None
+
+    color0 = jnp.zeros((ny * T, nx * T, 3), jnp.float32)
+    w0 = jnp.zeros((ny * T, nx * T), jnp.float32)
+    (full, wfull), _ = jax.lax.scan(step, (color0, w0), (work_ti, work_ii))
+    full = full[:out_h, :out_w]
+    wfull = wfull[:out_h, :out_w]
+    has = wfull > 0
+    out = full / jnp.where(has, wfull, 1.0)[..., None]
+    return jnp.where(has[..., None], out, INVALID)
+
+
 @functools.partial(
     jax.jit, static_argnames=("proj", "out_h", "out_w", "ordered")
 )
@@ -175,14 +284,16 @@ def blend_linear(imgs: jnp.ndarray, plan: RenderPlan, ordered: bool) -> jnp.ndar
     """imgs: [N, Hp, Wp, 3] stack padded with the INVALID sentinel beyond
     each image's (whs) extent.  Returns the blended [out_h, out_w, 3] canvas
     with INVALID where nothing was rendered."""
-    return _blend_linear_impl(
+    ti, ii, ny, nx = _tile_work(plan.ranges, plan.out_h, plan.out_w)
+    return _blend_linear_tiled(
         imgs,
         jnp.asarray(plan.homo_invs),
         jnp.asarray(plan.whs, jnp.float32),
         jnp.asarray(plan.ranges),
         jnp.asarray(plan.proj_min, jnp.float32),
         jnp.asarray(plan.resolution, jnp.float32),
-        plan.proj, plan.out_h, plan.out_w, ordered,
+        jnp.asarray(ti), jnp.asarray(ii),
+        plan.proj, plan.out_h, plan.out_w, ordered, ny, nx,
     )
 
 
@@ -193,12 +304,4 @@ def blend(imgs: jnp.ndarray, plan: RenderPlan, ordered: bool, multiband: int) ->
         from .multiband import blend_multiband
 
         return blend_multiband(imgs, plan, multiband)
-    return _blend_linear_impl(
-        imgs,
-        jnp.asarray(plan.homo_invs),
-        jnp.asarray(plan.whs, jnp.float32),
-        jnp.asarray(plan.ranges),
-        jnp.asarray(plan.proj_min, jnp.float32),
-        jnp.asarray(plan.resolution, jnp.float32),
-        plan.proj, plan.out_h, plan.out_w, ordered,
-    )
+    return blend_linear(imgs, plan, ordered)
