@@ -163,13 +163,13 @@ def mode_planet(args, cfg):
 def mode_stitch(args, cfg):
     import jax
 
-    from .io import read_img, write_rgb
-    from .ops.imgproc import crop_to_largest_rect
+    from .io import write_rgb
+    from .io.image import read_img_u8
     from .stitch.cylstitcher import stitch_cylinder
     from .stitch.stitcher import stitch
 
     t0 = time.time()
-    imgs = [read_img(f) for f in args.images]
+    imgs = [read_img_u8(f) for f in args.images]
     shapes = {im.shape for im in imgs}
     if len(shapes) != 1:
         raise SystemExit(
@@ -182,16 +182,22 @@ def mode_stitch(args, cfg):
     t0 = time.time()
     key = jax.random.PRNGKey(args.seed)
     if cfg.CYLINDER:
-        canvas = stitch_cylinder(stack, cfg, key)
+        canvas = stitch_cylinder(stack.astype(np.float32) / 255.0, cfg, key)
+        valid = canvas[..., 0] >= 0
+        canvas = np.where(
+            canvas < 0, np.uint8(255),
+            np.round(np.clip(canvas, 0, 1) * 255).astype(np.uint8),
+        )
     else:
-        canvas = stitch(stack, cfg, key)
+        canvas, valid = stitch(stack, cfg, key, output="u8")
     print(f"Stitched in {time.time()-t0:.2f}s")
     print(f"Final Image Size: ({canvas.shape[1]}, {canvas.shape[0]})")
 
     if cfg.CROP:
-        canvas = crop_to_largest_rect(canvas)
+        from .ops.imgproc import crop_with_mask
+
+        canvas = crop_with_mask(canvas, valid)
         print(f"Cropped to: ({canvas.shape[1]}, {canvas.shape[0]})")
-    canvas = np.where(canvas < 0, 1.0, canvas)  # Color::NO -> white on write
     write_rgb(args.output, canvas)
     print(f"Wrote {args.output}")
 

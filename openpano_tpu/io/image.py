@@ -25,13 +25,27 @@ def read_img(path: str) -> np.ndarray:
     return arr
 
 
-def write_rgb(path: str, img: np.ndarray) -> None:
-    """Encode float RGB [0,1] to file; invalid (-1) pixels become white,
-    matching the reference writer (imgio.cc:83-96)."""
+def read_img_u8(path: str) -> np.ndarray:
+    """Decode to uint8 RGB [H, W, 3] — the cheap host->device upload form
+    (4x fewer bytes than float32; converted to [0,1] on device)."""
     from PIL import Image
 
-    img = np.asarray(img, dtype=np.float32)
-    invalid = img.min(axis=-1, keepdims=True) < 0
-    img = np.where(invalid, 1.0, img)
-    data = (np.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
-    Image.fromarray(data, mode="RGB").save(path)
+    with Image.open(path) as im:
+        arr = np.asarray(im.convert("RGB"), dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"unsupported image {path}: shape {arr.shape}")
+    return arr
+
+
+def write_rgb(path: str, img: np.ndarray) -> None:
+    """Encode float RGB [0,1] (invalid -1 pixels become white, matching the
+    reference writer imgio.cc:83-96) or ready uint8 RGB to file."""
+    from PIL import Image
+
+    img = np.asarray(img)
+    if img.dtype != np.uint8:
+        img = np.asarray(img, dtype=np.float32)
+        invalid = img.min(axis=-1, keepdims=True) < 0
+        img = np.where(invalid, 1.0, img)
+        img = (np.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+    Image.fromarray(img, mode="RGB").save(path)

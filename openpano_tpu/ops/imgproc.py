@@ -104,6 +104,17 @@ def crop_to_largest_rect(img: np.ndarray) -> np.ndarray:
     return img[y0 : y0 + h, x0 : x0 + w]
 
 
+def crop_with_mask(img: np.ndarray, valid: np.ndarray) -> np.ndarray:
+    """Crop to the largest all-valid rectangle given an explicit validity
+    mask (the u8 output path computes the mask on device)."""
+    from ..native import largest_valid_rect
+
+    y0, x0, h, w = largest_valid_rect(np.asarray(valid))
+    if h == 0 or w == 0:
+        return img[:0, :0]
+    return img[y0 : y0 + h, x0 : x0 + w]
+
+
 def hconcat(mats: list[np.ndarray]) -> np.ndarray:
     """Horizontal concat with zero padding to the tallest (imgproc.cc:86-110).
     Debug/visualization helper; host-side."""

@@ -92,12 +92,22 @@ def build_pairwise_graph(feats, whs, cfg: Config, key, ordered: bool,
     return graph
 
 
-def stitch(imgs: np.ndarray, cfg: Config, key=None) -> np.ndarray:
-    """Full Stitcher::build (stitcher.cc:32-63).  imgs: [n,H,W,3] float32.
-    Returns the blended canvas (float32, INVALID=-1 where empty, pre-crop)."""
+def stitch(imgs: np.ndarray, cfg: Config, key=None, output: str = "f32"):
+    """Full Stitcher::build (stitcher.cc:32-63).  imgs: [n,H,W,3] float32 in
+    [0,1] or uint8 (uploaded 4x cheaper and converted on device).
+
+    output="f32": returns the blended canvas (float32, INVALID=-1 where
+    empty, pre-crop).  output="u8": returns ``(canvas_u8, valid)`` with the
+    [0,1]->[0,255] conversion done on device (reference: cvt_f2uc,
+    imgproc.cc:328-337) — 4x less device->host traffic for the write path.
+    """
     if key is None:
         key = jax.random.PRNGKey(0)
-    imgs = jnp.asarray(imgs, jnp.float32)
+    imgs = jnp.asarray(imgs)
+    if imgs.dtype == jnp.uint8:
+        imgs = _u8_to_f32(imgs)
+    else:
+        imgs = imgs.astype(jnp.float32)
     n, H, W = imgs.shape[0], imgs.shape[1], imgs.shape[2]
     mid = n >> 1                                  # assign_center, stitcher.cc:138-141
 
@@ -129,8 +139,24 @@ def stitch(imgs: np.ndarray, cfg: Config, key=None) -> np.ndarray:
     with total_timer("blend"):
         plan = plan_render(homos, whs_np, mid, proj, cfg.MAX_OUTPUT_SIZE)
         canvas = blend(imgs, plan, ordered=cfg.ORDERED_INPUT, multiband=cfg.MULTIBAND)
-        canvas = np.asarray(canvas)
-    return canvas
+        if output == "u8":
+            u8, valid = _f32_to_u8(canvas)
+            result = (np.asarray(u8), np.asarray(valid))
+        else:
+            result = np.asarray(canvas)
+    return result
+
+
+@jax.jit
+def _u8_to_f32(imgs):
+    return imgs.astype(jnp.float32) / 255.0
+
+
+@jax.jit
+def _f32_to_u8(canvas):
+    valid = canvas[..., 0] >= 0
+    u8 = jnp.round(jnp.clip(canvas, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+    return jnp.where(valid[..., None], u8, 255), valid
 
 
 def _build_linear_simple(graph: PairwiseGraph, n: int, mid: int,

@@ -31,7 +31,7 @@ def generate_dataset(d: str, n: int = 6) -> None:
         photo_scene(), n, out_w=320, out_h=240, hfov_deg=32, overlap=0.5
     )
     for k, v in enumerate(views):
-        write_rgb(os.path.join(d, f"view{k:02d}.jpg"), v)
+        write_rgb(os.path.join(d, f"view{k:02d}.png"), v)
 
 
 def write_config(d: str, mode: str) -> str:
@@ -54,13 +54,14 @@ def write_config(d: str, mode: str) -> str:
 def run_one(d: str, mode: str, golden_w: float, golden_h: float) -> None:
     write_config(d, mode)
     imgs = sorted(
-        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".jpg")
+        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".png")
     )
     out = subprocess.run(
         [sys.executable, "-m", "openpano_tpu.cli", *imgs,
          "-o", os.path.join(d, "out.jpg")],
         cwd=d, capture_output=True, text=True, timeout=3600,
-        env={**os.environ, "PYTHONPATH": REPO},
+        env={**os.environ,
+             "PYTHONPATH": REPO + os.pathsep + os.environ.get("PYTHONPATH", "")},
     )
     sys.stdout.write(out.stdout)
     if out.returncode != 0:
