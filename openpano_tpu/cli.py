@@ -229,6 +229,15 @@ def main(argv=None):
 
     cfg = load_config(args.config)
     MODES[args.mode](args, cfg)
+    # per-label accumulated timings at exit, like the reference's
+    # TotalTimerGlobalGuard (lib/timer.hh:70-84, printed from main.cc:336),
+    # plus peak RSS (the reference measured it externally via src/memusg)
+    from .utils import timer
+
+    rep = timer.report()
+    if rep:
+        print(rep)
+    print(f"peak rss: {timer.peak_rss_mb():.0f} MiB")
     return 0
 
 

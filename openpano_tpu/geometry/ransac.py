@@ -175,7 +175,10 @@ def estimate_transform_batch(
             m, pos[i], valid[i], pos[j], valid[j], whs[i], whs[j], k, cfg, affine
         )
 
-    return jax.vmap(one)(matches, ii, jj, keys)
+    # chunk the pair axis: each pair holds [n_hyp, M] residuals live
+    from ..utils.batching import chunked_vmap
+
+    return chunked_vmap(one, (matches, ii, jj, keys), chunk=32)
 
 
 def reverse_matchinfo(info: MatchInfo) -> MatchInfo:

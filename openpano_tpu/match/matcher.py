@@ -133,7 +133,10 @@ def match_all_pairs(desc: jnp.ndarray, valid: jnp.ndarray, cfg: Config) -> Match
     def one(i, j):
         return match_pair(desc[i], valid[i], desc[j], valid[j], cfg)
 
-    return jax.vmap(one)(jnp.asarray(ii), jnp.asarray(jj))
+    # chunk the pair axis: each pair holds a [K,K] distance matrix live
+    from ..utils.batching import chunked_vmap
+
+    return chunked_vmap(one, (jnp.asarray(ii), jnp.asarray(jj)), chunk=32)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

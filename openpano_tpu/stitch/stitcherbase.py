@@ -19,14 +19,37 @@ from ..sift.descriptor import Features
 from ..sift.detector import detect_and_describe_batch
 
 
+# images per device batch: the live set (scale space + window slabs) for
+# one batch must fit HBM; 8 working-size images use ~5 GB of a v5e's 16 GB
+_FEATURE_BATCH = 8
+
+
 def compute_features(imgs: jnp.ndarray, cfg: Config) -> Features:
     """imgs: [N, H, W, 3] float32 in [0,1] (uniform shape).  Returns batched
-    Features with half-shifted original-image coordinates."""
+    Features with half-shifted original-image coordinates.  Large image sets
+    stream through the device in fixed-size batches (the TPU analog of the
+    reference's LAZY_READ memory strategy, stitcherbase.cc:16-19)."""
     n, h, w = imgs.shape[0], imgs.shape[1], imgs.shape[2]
     wh_, ww_ = working_size(w, h, cfg.SIFT_WORKING_SIZE)
-    work = jax.vmap(lambda im: resize(im, wh_, ww_))(imgs)
     whs = jnp.broadcast_to(jnp.asarray([w, h], jnp.float32), (n, 2))
-    feats = detect_and_describe_batch(work, whs, cfg)
+
+    B = _FEATURE_BATCH
+    if n <= B:
+        work = jax.vmap(lambda im: resize(im, wh_, ww_))(imgs)
+        feats = detect_and_describe_batch(work, whs, cfg)
+    else:
+        chunks = []
+        for lo in range(0, n, B):
+            batch = imgs[lo : lo + B]
+            if batch.shape[0] < B:  # pad to keep one compiled executable
+                pad = B - batch.shape[0]
+                rep = jnp.broadcast_to(batch[:1], (pad,) + batch.shape[1:])
+                batch = jnp.concatenate([batch, rep], axis=0)
+            work = jax.vmap(lambda im: resize(im, wh_, ww_))(batch)
+            chunks.append(detect_and_describe_batch(work, whs[:B], cfg))
+        feats = jax.tree_util.tree_map(
+            lambda *c: jnp.concatenate(c, axis=0)[:n], *chunks
+        )
     counts = np.asarray(jnp.sum(feats.valid, axis=1))
     for i, c in enumerate(counts):
         if c == 0:  # stitcherbase.cc:20-21

@@ -58,3 +58,12 @@ def report() -> str:
     for label, (cnt, secs) in sorted(totals().items(), key=lambda kv: -kv[1][1]):
         lines.append(f"{label}: {cnt} calls, {secs:.3f} s total")
     return "\n".join(lines)
+
+
+def peak_rss_mb() -> float:
+    """Peak resident set size of this process in MiB — the in-process analog
+    of the reference's external ``src/memusg`` script (memusg:1-15), which
+    polled the process group's RSS.  ru_maxrss is KiB on Linux."""
+    import resource
+
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
