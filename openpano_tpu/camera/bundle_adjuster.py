@@ -13,14 +13,17 @@ itself comes from the best accepted state (.cc:117-160).
 
 TPU-native design: the reference assembles a dense J (~700k x 6n, zeroing
 noted as 1/3 of its runtime at .cc:280) exploiting block sparsity only in
-JtJ accumulation.  Here the problem is *point-major*: all match points from
-all pairs live in flat [T] arrays carrying their two camera indices and a
-weight (0 = padding or pair not yet active in the incremental schedule).
-J is never materialized — jax.jacfwd gives each point's [2,12] block (12 =
-the only nonzero columns), and JtJ/Jtb are scatter-added from per-point
-[12,12]/[12] blocks.  Every optimize() call in the schedule reuses one
-compiled executable; only the weights change.  float64 throughout, matching
-the reference.
+JtJ accumulation.  Here the problem is *point-major with pair-contiguous
+segments*: all match points of pair slot s occupy rows [starts[s],
+ends[s]).  J is never materialized — jax.jacfwd gives each point's [2,12]
+block (12 = the only nonzero columns), per-pair [12,12]/[12] block sums
+come from a cumulative-sum difference over the contiguous segments (an
+XLA-friendly reduction; a T-wide scatter-add is serialized on CPU and
+banked on TPU), and only P tiny blocks are scattered into JtJ.  The
+incremental schedule (camera_estimator.cc:74-99) re-dispatches one compiled
+executable; only the per-pair ``swapped``/``pair_w`` vectors change between
+calls, so the point data stays resident on the device.  float64
+throughout, matching the reference.
 """
 
 from __future__ import annotations
@@ -31,26 +34,71 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .rotation import rodrigues
+from .rotation import drodrigues, rodrigues
 
 LM_MAX_ITER = 100       # incremental_bundle_adjuster.cc:24
 NR_NON_DECREASE = 5     # .cc:159
 
 
 class BAProblem(NamedTuple):
-    """Point-major static-shape BA inputs.
+    """Point-major BA inputs with pair-contiguous segments.
 
-    cam_from/cam_to: [T] camera indices per match point;
-    pt_to: [T,2] coords in the 'to' image (half-shifted),
-    pt_from: [T,2] coords in the 'from' image;
-    w: [T] weights (1 = active, 0 = padding / inactive pair).
+    Per point (row t):
+      pt_to/pt_from: [T,2] half-shifted coords in the stored orientation;
+      pair_id: [T] pair slot of the point;
+      w: [T] static weight (0 = padding / invalid match point).
+    Per pair slot (s):
+      starts/ends: [P] row range of the slot's points;
+      cam_to/cam_from: [P] camera indices in the stored orientation;
+      swapped: [P] bool — True flips the pair's direction (the incremental
+        schedule orients each edge so 'to' is the newly added image,
+        camera_estimator.cc:76-88);
+      pair_w: [P] activation weight (0 = pair not yet in the schedule).
     """
 
-    cam_from: jnp.ndarray
-    cam_to: jnp.ndarray
     pt_to: jnp.ndarray
     pt_from: jnp.ndarray
+    pair_id: jnp.ndarray
     w: jnp.ndarray
+    starts: jnp.ndarray
+    ends: jnp.ndarray
+    cam_to: jnp.ndarray
+    cam_from: jnp.ndarray
+    swapped: jnp.ndarray
+    pair_w: jnp.ndarray
+
+
+class _EffProblem(NamedTuple):
+    """Problem with the per-pair swap resolved to effective per-point data."""
+
+    pt_to: jnp.ndarray      # [T,2]
+    pt_from: jnp.ndarray    # [T,2]
+    pair_id: jnp.ndarray    # [T]
+    cam_to: jnp.ndarray     # [T]
+    cam_from: jnp.ndarray   # [T]
+    w: jnp.ndarray          # [T] combined weight
+    starts: jnp.ndarray
+    ends: jnp.ndarray
+    rows_to: jnp.ndarray    # [P] effective per-pair camera, for JtJ rows
+    rows_from: jnp.ndarray
+
+
+def _effective(prob: BAProblem) -> _EffProblem:
+    sw = prob.swapped[prob.pair_id]
+    eff_cam_to = jnp.where(prob.swapped, prob.cam_from, prob.cam_to)
+    eff_cam_from = jnp.where(prob.swapped, prob.cam_to, prob.cam_from)
+    return _EffProblem(
+        pt_to=jnp.where(sw[:, None], prob.pt_from, prob.pt_to),
+        pt_from=jnp.where(sw[:, None], prob.pt_to, prob.pt_from),
+        pair_id=prob.pair_id,
+        cam_to=eff_cam_to[prob.pair_id],
+        cam_from=eff_cam_from[prob.pair_id],
+        w=prob.w * prob.pair_w[prob.pair_id],
+        starts=prob.starts,
+        ends=prob.ends,
+        rows_to=eff_cam_to,
+        rows_from=eff_cam_from,
+    )
 
 
 def _K(f, ppx, ppy, dtype):
@@ -88,44 +136,177 @@ def _point_residual(cam12: jnp.ndarray, pt_to: jnp.ndarray,
     return pt_from - proj[:2] / zsafe
 
 
-def _gather_cam12(params, prob):
+def _gather_cam12(params, eff: _EffProblem):
     """[T,12] stacked (from, to) camera params per point."""
     return jnp.concatenate(
-        [params[prob.cam_from], params[prob.cam_to]], axis=-1
+        [params[eff.cam_from], params[eff.cam_to]], axis=-1
     )
 
 
-def _residuals(params, prob):
-    cam12 = _gather_cam12(params, prob)
-    r = jax.vmap(_point_residual)(cam12, prob.pt_to, prob.pt_from)
-    return r * prob.w[:, None]                          # [T,2]
+def _pair_H(params, eff: _EffProblem):
+    """Per-pair homography H = K_f R_f R_t^T K_t^-1, [P,3,3].
+
+    H depends only on the two cameras — the analytic-Jacobian structure the
+    reference exploits symbolically (calcJacobianSymbolic,
+    incremental_bundle_adjuster.cc:276-353); computing it per *pair* rather
+    than per point is the batched equivalent."""
+    f, px, py = params[:, 0], params[:, 1], params[:, 2]
+    R = rodrigues(params[:, 3:6])                        # [n,3,3]
+    z = jnp.zeros_like(f)
+    o = jnp.ones_like(f)
+    K = jnp.stack([
+        jnp.stack([f, z, px], -1), jnp.stack([z, f, py], -1),
+        jnp.stack([z, z, o], -1)], -2)                   # [n,3,3]
+    fi = 1.0 / f
+    Kinv = jnp.stack([
+        jnp.stack([fi, z, -px * fi], -1), jnp.stack([z, fi, -py * fi], -1),
+        jnp.stack([z, z, o], -1)], -2)
+    F, Tc = eff.rows_from, eff.rows_to
+    A = K[F] @ R[F]                                      # [P,3,3]
+    Bq = jnp.swapaxes(R[Tc], -1, -2) @ Kinv[Tc]          # [P,3,3]
+    return A @ Bq
 
 
-def _rms(r, prob):
+def _pair_H_dH(params, eff: _EffProblem):
+    """H [P,3,3] and dH/dtheta [P,12,3,3] for the 12 params of each pair's
+    (from, to) cameras, all analytic (the chain pieces at
+    incremental_bundle_adjuster.cc:84-95 and dRdvi at .cc:52-81)."""
+    dt = params.dtype
+    f, px, py = params[:, 0], params[:, 1], params[:, 2]
+    v = params[:, 3:6]
+    R = rodrigues(v)                                     # [n,3,3]
+    dR = drodrigues(v, R)                                # [n,3,3,3(i)]
+    z = jnp.zeros_like(f)
+    o = jnp.ones_like(f)
+    K = jnp.stack([
+        jnp.stack([f, z, px], -1), jnp.stack([z, f, py], -1),
+        jnp.stack([z, z, o], -1)], -2)
+    fi = 1.0 / f
+    Kinv = jnp.stack([
+        jnp.stack([fi, z, -px * fi], -1), jnp.stack([z, fi, -py * fi], -1),
+        jnp.stack([z, z, o], -1)], -2)
+    fi2 = fi * fi
+    dKinv_df = jnp.stack([
+        jnp.stack([-fi2, z, px * fi2], -1),
+        jnp.stack([z, -fi2, py * fi2], -1),
+        jnp.stack([z, z, z], -1)], -2)                   # [n,3,3]
+
+    F, Tc = eff.rows_from, eff.rows_to
+    KF, RF, dRF = K[F], R[F], dR[F]
+    RtT = jnp.swapaxes(R[Tc], -1, -2)
+    KinvT = Kinv[Tc]
+    A = KF @ RF                                          # [P,3,3]
+    Bq = RtT @ KinvT                                     # [P,3,3]
+    H = A @ Bq
+    RB = RF @ Bq                                         # [P,3,3]
+
+    zero = jnp.zeros_like(RB)
+    # dK_f/df = diag(1,1,0): keep first two rows of RB
+    d_f = RB.at[..., 2, :].set(0.0)
+    # dK_f/dppx = e1 e3^T, dK_f/dppy = e2 e3^T: move RB's third row
+    d_px = zero.at[..., 0, :].set(RB[..., 2, :])
+    d_py = zero.at[..., 1, :].set(RB[..., 2, :])
+    # dR_f/dv_k
+    d_vf = jnp.einsum("pij,pjlk,plm->pkim", KF, dRF, Bq)  # [P,3(k),3,3]
+    # to-camera intrinsics
+    ARt = A @ RtT                                        # [P,3,3]
+    d_ft = ARt @ dKinv_df[Tc]
+    fiT = fi[Tc]
+    d_pxt = -(ARt[..., :, 0] * fiT[:, None])[..., :, None] * \
+        jnp.asarray([0.0, 0.0, 1.0], dt)[None, None, :]
+    d_pyt = -(ARt[..., :, 1] * fiT[:, None])[..., :, None] * \
+        jnp.asarray([0.0, 0.0, 1.0], dt)[None, None, :]
+    # dR_t^T/dv_k = (dR_t/dv_k)^T
+    d_vt = jnp.einsum("pij,pljk,plm->pkim", A, dR[Tc], KinvT)
+
+    dH = jnp.concatenate([
+        d_f[:, None], d_px[:, None], d_py[:, None], d_vf,
+        d_ft[:, None], d_pxt[:, None], d_pyt[:, None], d_vt,
+    ], axis=1)                                           # [P,12,3,3]
+    return H, dH
+
+
+def _proj_residual(H_pt, pt_to, pt_from):
+    """r [T,2] plus the projected (x, y, zsafe, valid) pieces."""
+    ph = jnp.concatenate([pt_to, jnp.ones_like(pt_to[..., :1])], -1)
+    u = jnp.einsum("tij,tj->ti", H_pt, ph)               # [T,3]
+    zok = jnp.abs(u[..., 2]) > 1e-20
+    zs = jnp.where(zok, u[..., 2], 1e-20)
+    r = pt_from - u[..., :2] / zs[..., None]
+    return r, ph, u, zs, zok
+
+
+def _eff_residuals(params, eff: _EffProblem):
+    H = _pair_H(params, eff)
+    r, _, _, _, _ = _proj_residual(H[eff.pair_id], eff.pt_to, eff.pt_from)
+    return r * eff.w[:, None]                           # [T,2]
+
+
+def _residuals(params, prob: BAProblem):
+    return _eff_residuals(params, _effective(prob))
+
+
+def _rms_w(r, w):
     """sqrt(mean of squared residuals) over active points (.cc:199-220)."""
-    npts = jnp.sum(prob.w) * 2.0
+    npts = jnp.sum(w > 0) * 2.0
     return jnp.sqrt(jnp.sum(r * r) / jnp.maximum(npts, 1.0))
 
 
-def _normal_equations(params, residuals, prob, n_cam):
-    """JtJ [6n,6n] and Jtb [6n] via per-point jacfwd + block scatter-add."""
-    cam12 = _gather_cam12(params, prob)
-    Jp = jax.vmap(jax.jacfwd(_point_residual))(
-        cam12, prob.pt_to, prob.pt_from
-    )                                                   # [T,2,12]
-    Jp = Jp * prob.w[:, None, None]
+def _rms(r, prob: BAProblem):
+    return _rms_w(r, prob.w * prob.pair_w[prob.pair_id])
+
+
+def _segment_blocks(x: jnp.ndarray, starts, ends) -> jnp.ndarray:
+    """Sum rows of x [T, ...] over the contiguous segments [starts, ends).
+
+    Cumulative-sum difference: one pass over T, then two gathers of P rows —
+    no T-wide scatter (XLA scatters serialize on CPU and are bank-conflict
+    prone on TPU; the reference's analog is its JtJ block accumulation,
+    incremental_bundle_adjuster.cc:355-380)."""
+    t = x.shape[0]
+    flat = x.reshape(t, -1)
+    cs = jnp.concatenate([jnp.zeros_like(flat[:1]), jnp.cumsum(flat, 0)], 0)
+    return (cs[ends] - cs[starts]).reshape((starts.shape[0],) + x.shape[1:])
+
+
+def _eff_jacobian(params, eff: _EffProblem):
+    """Analytic per-point Jacobian [T,2,12]: chain rule through the
+    projective division of the per-pair dH blocks (the batched form of
+    calcJacobianSymbolic, incremental_bundle_adjuster.cc:306-353)."""
+    H, dH = _pair_H_dH(params, eff)
+    pid = eff.pair_id
+    _, ph, u, zs, zok = _proj_residual(H[pid], eff.pt_to, eff.pt_from)
+    du = jnp.einsum("tkij,tj->tki", dH[pid], ph)        # [T,12,3]
+    zi = 1.0 / zs
+    # d(x/zsafe): the zsafe clamp freezes z when |z| <= 1e-20, matching the
+    # where() in _proj_residual under differentiation
+    zterm = jnp.where(zok, zi * zi, 0.0)
+    Jx = -(du[..., 0] * zi[:, None] - du[..., 2] * (u[..., 0] * zterm)[:, None])
+    Jy = -(du[..., 1] * zi[:, None] - du[..., 2] * (u[..., 1] * zterm)[:, None])
+    return jnp.stack([Jx, Jy], axis=1)                  # [T,2,12]
+
+
+def _eff_normal_equations(params, residuals, eff: _EffProblem, n_cam):
+    """JtJ [6n,6n] and Jtb [6n] via analytic Jacobian + per-pair block sums."""
+    Jp = _eff_jacobian(params, eff) * eff.w[:, None, None]
     B = jnp.einsum("tki,tkj->tij", Jp, Jp)              # [T,12,12]
     b = jnp.einsum("tki,tk->ti", Jp, residuals)         # [T,12]
+    Bp = _segment_blocks(B, eff.starts, eff.ends)       # [P,12,12]
+    bp = _segment_blocks(b, eff.starts, eff.ends)       # [P,12]
 
     n6 = n_cam * 6
     offs = jnp.arange(6)
     rows = jnp.concatenate(
-        [prob.cam_from[:, None] * 6 + offs, prob.cam_to[:, None] * 6 + offs], 1
-    )                                                   # [T,12]
+        [eff.rows_from[:, None] * 6 + offs, eff.rows_to[:, None] * 6 + offs], 1
+    )                                                   # [P,12]
     JtJ = jnp.zeros((n6, n6), params.dtype)
-    JtJ = JtJ.at[rows[:, :, None], rows[:, None, :]].add(B)
-    Jtb = jnp.zeros((n6,), params.dtype).at[rows].add(b)
+    JtJ = JtJ.at[rows[:, :, None], rows[:, None, :]].add(Bp)
+    Jtb = jnp.zeros((n6,), params.dtype).at[rows].add(bp)
     return JtJ, Jtb
+
+
+def _normal_equations(params, residuals, prob: BAProblem, n_cam):
+    return _eff_normal_equations(params, residuals, _effective(prob), n_cam)
 
 
 @functools.partial(jax.jit, static_argnames=("n_cam", "lm_lambda"))
@@ -135,6 +316,7 @@ def ba_optimize(params: jnp.ndarray, prob: BAProblem, identity_idx: jnp.ndarray,
     rows (focal, ppx, ppy, rx, ry, rz); returns optimized params."""
     dtype = params.dtype
     flat0 = params.reshape(-1)
+    eff = _effective(prob)
 
     # identity camera's rotation params never update (.cc:144-148)
     upd_mask = jnp.ones((n_cam, 6), dtype)
@@ -143,8 +325,8 @@ def ba_optimize(params: jnp.ndarray, prob: BAProblem, identity_idx: jnp.ndarray,
 
     damp = jnp.where(jnp.arange(n_cam * 6) % 6 >= 3, lm_lambda, lm_lambda / 10.0)
 
-    r0 = _residuals(flat0.reshape(n_cam, 6), prob)
-    err0 = _rms(r0, prob)
+    r0 = _eff_residuals(flat0.reshape(n_cam, 6), eff)
+    err0 = _rms_w(r0, eff.w)
 
     def cond(carry):
         _, _, _, nr_nd, itr = carry
@@ -152,14 +334,14 @@ def ba_optimize(params: jnp.ndarray, prob: BAProblem, identity_idx: jnp.ndarray,
 
     def body(carry):
         best_flat, resid, best_err, nr_nd, itr = carry
-        JtJ, Jtb = _normal_equations(
-            best_flat.reshape(n_cam, 6), resid, prob, n_cam
+        JtJ, Jtb = _eff_normal_equations(
+            best_flat.reshape(n_cam, 6), resid, eff, n_cam
         )
         A = JtJ + jnp.diag(damp)
         delta = jnp.linalg.solve(A, Jtb[:, None])[:, 0]
         new_flat = best_flat - delta * upd_mask
-        new_r = _residuals(new_flat.reshape(n_cam, 6), prob)
-        new_err = _rms(new_r, prob)
+        new_r = _eff_residuals(new_flat.reshape(n_cam, 6), eff)
+        new_err = _rms_w(new_r, eff.w)
         improved = new_err < best_err - 1e-3
         best_flat = jnp.where(improved, new_flat, best_flat)
         best_err = jnp.where(improved, new_err, best_err)
@@ -174,17 +356,19 @@ def ba_optimize(params: jnp.ndarray, prob: BAProblem, identity_idx: jnp.ndarray,
 
 
 def pairs_to_points(from_idx, to_idx, pts_to, pts_from, valid, pair_active):
-    """Convert a pair-major [P,M] problem to point-major (jit-safe: no
-    compaction — weights select).  Used by the sharded pipeline; the
-    estimator compacts on host instead."""
+    """Convert a pair-major [P,M] problem to the segment layout (jit-safe:
+    no compaction — weights select; each pair's M rows are its segment)."""
     P, M = valid.shape
-    rep = lambda a: jnp.repeat(a, M)
-    w = (valid.reshape(-1).astype(pts_to.dtype)
-         * jnp.repeat(pair_active, M).astype(pts_to.dtype))
+    dt = pts_to.dtype
     return BAProblem(
-        cam_from=rep(from_idx),
-        cam_to=rep(to_idx),
         pt_to=pts_to.reshape(P * M, 2),
         pt_from=pts_from.reshape(P * M, 2),
-        w=w,
+        pair_id=jnp.repeat(jnp.arange(P, dtype=jnp.int32), M),
+        w=valid.reshape(-1).astype(dt),
+        starts=jnp.arange(P, dtype=jnp.int32) * M,
+        ends=(jnp.arange(P, dtype=jnp.int32) + 1) * M,
+        cam_to=jnp.asarray(to_idx, jnp.int32),
+        cam_from=jnp.asarray(from_idx, jnp.int32),
+        swapped=jnp.zeros(P, bool),
+        pair_w=jnp.asarray(pair_active, dt),
     )

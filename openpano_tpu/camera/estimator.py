@@ -109,25 +109,31 @@ def estimate_cameras(
             if confidence[i, j] > 0 and valid[i, j].any()]
     pair_slot = {p: s for s, p in enumerate(conn)}
     P = max(len(conn), 1)
-    pt_pair, pt_a, pt_b, pt_to_a, pt_from_b = [], [], [], [], []
+    pt_pair, cam_a, cam_b, pt_to_a, pt_from_b, counts = [], [], [], [], [], []
     for s, (a, b) in enumerate(conn):
         m = valid[a, b]
         cnt = int(m.sum())
+        counts.append(cnt)
         pt_pair.append(np.full(cnt, s, np.int32))
-        pt_a.append(np.full(cnt, a, np.int32))
-        pt_b.append(np.full(cnt, b, np.int32))
+        cam_a.append(a)
+        cam_b.append(b)
         pt_to_a.append(to_pos[a, b][m])      # coords in image a (stored 'to')
         pt_from_b.append(from_pos[a, b][m])  # coords in image b (stored 'from')
     if pt_pair:
         pt_pair = np.concatenate(pt_pair)
-        pt_a = np.concatenate(pt_a)
-        pt_b = np.concatenate(pt_b)
         pt_to_a = np.concatenate(pt_to_a)
         pt_from_b = np.concatenate(pt_from_b)
     else:
         pt_pair = np.zeros(0, np.int32)
-        pt_a = pt_b = pt_pair
         pt_to_a = pt_from_b = np.zeros((0, 2))
+        counts = [0]
+        cam_a = cam_b = [0]
+    while len(cam_a) < P:
+        cam_a.append(0)
+        cam_b.append(0)
+        counts.append(0)
+    ends = np.cumsum(counts).astype(np.int32)
+    starts = (ends - np.asarray(counts, np.int32)).astype(np.int32)
 
     pair_active = np.zeros(P)
     # True when the traverse-chosen orientation has to=b (swapped vs stored)
@@ -152,21 +158,27 @@ def estimate_cameras(
     else:
         ba_ctx = contextlib.nullcontext
 
+    # static point data uploaded once; per run only swapped/pair_w change
+    with ba_ctx():
+        static_prob = BAProblem(
+            pt_to=jnp.asarray(pt_to_a),
+            pt_from=jnp.asarray(pt_from_b),
+            pair_id=jnp.asarray(pt_pair),
+            w=jnp.ones(pt_pair.shape[0], jnp.float64),
+            starts=jnp.asarray(starts),
+            ends=jnp.asarray(ends),
+            cam_to=jnp.asarray(cam_a, jnp.int32),    # stored: to=a, from=b
+            cam_from=jnp.asarray(cam_b, jnp.int32),
+            swapped=jnp.zeros(P, bool),
+            pair_w=jnp.zeros(P, jnp.float64),
+        )
+
     def run_ba():
         nonlocal params
-        swap = pair_swapped[pt_pair]
-        cam_to = np.where(swap, pt_b, pt_a)
-        cam_from = np.where(swap, pt_a, pt_b)
-        p_to = np.where(swap[:, None], pt_from_b, pt_to_a)
-        p_from = np.where(swap[:, None], pt_to_a, pt_from_b)
-        w = pair_active[pt_pair]
         with ba_ctx():
-            prob = BAProblem(
-                cam_from=jnp.asarray(cam_from),
-                cam_to=jnp.asarray(cam_to),
-                pt_to=jnp.asarray(p_to),
-                pt_from=jnp.asarray(p_from),
-                w=jnp.asarray(w),
+            prob = static_prob._replace(
+                swapped=jnp.asarray(pair_swapped),
+                pair_w=jnp.asarray(pair_active),
             )
             params = np.array(
                 ba_optimize(

@@ -44,6 +44,34 @@ def rodrigues(v: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(small[..., None, None], taylor, full)
 
 
+def drodrigues(v: jnp.ndarray, R: jnp.ndarray) -> jnp.ndarray:
+    """Analytic dR/dv: [...,3] axis-angle and its rotation [...,3,3] ->
+    [...,3,3,3] where out[..., i] = dR/dv_i.
+
+    The compact exponential-coordinates formula (Gallego & Yezzi,
+    arXiv:1312.0788, eq. 10) the reference uses symbolically (dRdvi,
+    incremental_bundle_adjuster.cc:52-81):
+        dR/dv_i = (v_i [v]_x + [v x (I - R) e_i]_x) / |v|^2 . R
+    with the theta -> 0 limit dR/dv_i = [e_i]_x."""
+    theta2 = jnp.sum(v * v, axis=-1)                     # [...]
+    small = theta2 < GEO_EPS_SQR
+    t2safe = jnp.where(small, 1.0, theta2)[..., None, None, None]
+    vx = cross_matrix(v)                                 # [...,3,3]
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=v.dtype), R.shape)
+    # (I - R) e_i = column i of (I - R);  w_i = v x (I-R)e_i  -> [...,3,i]
+    cols = eye - R                                       # [...,3,3]
+    w = jnp.cross(v[..., None, :], jnp.swapaxes(cols, -1, -2), axis=-1)
+    # w: [...,3(i),3] -> cross matrices [...,i,3,3]
+    wx = cross_matrix(w)                                 # [...,3(i),3,3]
+    vi = v[..., :, None, None]                           # [...,3(i),1,1]
+    num = vi * vx[..., None, :, :] + wx                  # [...,3(i),3,3]
+    full = (num / t2safe) @ R[..., None, :, :]
+    # limit: [e_i]_x
+    lim = cross_matrix(jnp.broadcast_to(jnp.eye(3, dtype=v.dtype), R.shape))
+    out = jnp.where(small[..., None, None, None], lim, full)
+    return jnp.moveaxis(out, -3, -1)                     # [...,3,3,3(i)]
+
+
 def rotation_to_angle(R: jnp.ndarray) -> jnp.ndarray:
     """Rotation matrix [...,3,3] -> axis-angle [...,3] with SVD
     re-orthogonalization (camera.cc:91-117)."""
