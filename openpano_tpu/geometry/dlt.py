@@ -19,13 +19,50 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def _chol_solve_small(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Batched Cholesky solve for tiny SPD systems, unrolled at trace time.
+
+    A: [...,n,n] SPD, b: [...,n]; n is small and static (6/8 here).
+    jnp.linalg.solve lowers to the TPU `LuDecompositionBlock` custom call,
+    which serializes tiny batched systems (~230 ms for 117k 8x8 solves —
+    dominating all of RANSAC); this unrolled Cholesky is ~n^3/3 fused
+    elementwise ops on the batch and costs microseconds."""
+    n = A.shape[-1]
+    L = [[None] * n for _ in range(n)]
+    for j in range(n):
+        s = A[..., j, j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        d = jnp.sqrt(jnp.maximum(s, 1e-30))
+        L[j][j] = d
+        inv_d = 1.0 / d
+        for i in range(j + 1, n):
+            s = A[..., i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            L[i][j] = s * inv_d
+    y = [None] * n
+    for i in range(n):
+        s = b[..., i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x, axis=-1)
+
+
 def _weighted_lstsq(A: jnp.ndarray, b: jnp.ndarray, w: jnp.ndarray, nparam: int):
     """argmin_x ||w * (Ax - b)||^2 for [...,R,nparam] systems."""
     Aw = A * w[..., None]
     AtA = jnp.einsum("...ri,...rj->...ij", Aw, A)
     Atb = jnp.einsum("...ri,...r->...i", Aw, b)
     AtA = AtA + 1e-9 * jnp.eye(nparam, dtype=A.dtype)
-    return jnp.linalg.solve(AtA, Atb[..., None])[..., 0]
+    return _chol_solve_small(AtA, Atb)
 
 
 def perspective_dlt(p1: jnp.ndarray, p2: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:

@@ -29,13 +29,40 @@ def trans2d(H: jnp.ndarray, pts: jnp.ndarray, eps: float = 0.0):
     return out[..., :2] / denom[..., None], z
 
 
+def det3(H: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form [...,3,3] determinant (avoids the TPU LU custom call)."""
+    return (
+        H[..., 0, 0] * (H[..., 1, 1] * H[..., 2, 2] - H[..., 1, 2] * H[..., 2, 1])
+        - H[..., 0, 1] * (H[..., 1, 0] * H[..., 2, 2] - H[..., 1, 2] * H[..., 2, 0])
+        + H[..., 0, 2] * (H[..., 1, 0] * H[..., 2, 1] - H[..., 1, 1] * H[..., 2, 0])
+    )
+
+
 def homo_inverse(H: jnp.ndarray):
     """Inverse with a success flag (reference: Homography::inverse,
-    homography.cc:25-39 — FullPivLU invertibility check)."""
-    det = jnp.linalg.det(H)
+    homography.cc:25-39 — FullPivLU invertibility check).  Closed-form
+    adjugate: batched 3x3 jnp.linalg.inv lowers to the serialized TPU
+    LuDecompositionBlock custom call."""
+    det = det3(H)
     ok = jnp.abs(det) > 1e-12
-    safe = jnp.where(ok[..., None, None], H, jnp.eye(3, dtype=H.dtype))
-    return jnp.linalg.inv(safe), ok
+    dsafe = jnp.where(ok, det, 1.0)
+    adj = jnp.stack([
+        jnp.stack([
+            H[..., 1, 1] * H[..., 2, 2] - H[..., 1, 2] * H[..., 2, 1],
+            H[..., 0, 2] * H[..., 2, 1] - H[..., 0, 1] * H[..., 2, 2],
+            H[..., 0, 1] * H[..., 1, 2] - H[..., 0, 2] * H[..., 1, 1]], -1),
+        jnp.stack([
+            H[..., 1, 2] * H[..., 2, 0] - H[..., 1, 0] * H[..., 2, 2],
+            H[..., 0, 0] * H[..., 2, 2] - H[..., 0, 2] * H[..., 2, 0],
+            H[..., 0, 2] * H[..., 1, 0] - H[..., 0, 0] * H[..., 1, 2]], -1),
+        jnp.stack([
+            H[..., 1, 0] * H[..., 2, 1] - H[..., 1, 1] * H[..., 2, 0],
+            H[..., 0, 1] * H[..., 2, 0] - H[..., 0, 0] * H[..., 2, 1],
+            H[..., 0, 0] * H[..., 1, 1] - H[..., 0, 1] * H[..., 1, 0]], -1),
+    ], -2)
+    inv = adj / dsafe[..., None, None]
+    inv = jnp.where(ok[..., None, None], inv, jnp.eye(3, dtype=H.dtype))
+    return inv, ok
 
 
 def translation(dx, dy, dtype=jnp.float32) -> jnp.ndarray:

@@ -44,16 +44,24 @@ class MatchResult(NamedTuple):
     count: jnp.ndarray  # [...] int32 — number of valid matches
 
 
-def _sq_dist_matrix(da: jnp.ndarray, db: jnp.ndarray) -> jnp.ndarray:
+def _sq_dist_matrix(da: jnp.ndarray, db: jnp.ndarray,
+                    valid_a=None, valid_b=None) -> jnp.ndarray:
     """Pairwise squared euclidean distances via ||a||^2+||b||^2-2ab (MXU).
 
     The reference's SSE kernel computes the same quantity serially
     (feature/dist.cc:22-57).  HIGHEST precision keeps the TPU matmul in
     true f32 (not bf16x3) — the norm/cross cancellation is only accurate to
     ~|d|^2 * eps, so candidate *selection* uses this matrix while the final
-    ratio tests recompute the few selected distances exactly."""
+    ratio tests recompute the few selected distances exactly.
+
+    Invalid (padding) rows/columns are pushed to ~1e19 by folding the mask
+    into the norm terms — a [K] where instead of a [K,K] one."""
     na = jnp.sum(da * da, axis=-1)
     nb = jnp.sum(db * db, axis=-1)
+    if valid_a is not None:
+        na = jnp.where(valid_a, na, _PAD_DIST)
+    if valid_b is not None:
+        nb = jnp.where(valid_b, nb, _PAD_DIST)
     cross = jnp.matmul(da, db.T, precision=jax.lax.Precision.HIGHEST)
     d2 = na[:, None] + nb[None, :] - 2.0 * cross
     return jnp.maximum(d2, 0.0)
@@ -66,22 +74,34 @@ def _exact_sq_dist(da: jnp.ndarray, db: jnp.ndarray) -> jnp.ndarray:
 
 
 _BIG = jnp.float32(3.4e38)
+_PAD_DIST = jnp.float32(1e19)   # >> any real descriptor distance
 
 
 def _top2_both(d2: jnp.ndarray, axis: int):
-    """(d1, d2nd, idx[...,2]) along `axis` — two smallest and their indices."""
-    neg_top2, idx = jax.lax.top_k(jnp.moveaxis(-d2, axis, -1), 2)
-    return -neg_top2[..., 0], -neg_top2[..., 1], idx
+    """(d1, d2nd, idx[...,2]) along `axis` — two smallest and their indices.
+
+    Two argmin passes instead of lax.top_k: XLA lowers top_k on TPU to a
+    sort-based expansion that is ~25x slower than two reductions at these
+    widths."""
+    d = jnp.moveaxis(d2, axis, -1)
+    i1 = jnp.argmin(d, -1)
+    d1 = jnp.take_along_axis(d, i1[..., None], -1)[..., 0]
+    masked = jnp.where(
+        jax.nn.one_hot(i1, d.shape[-1], dtype=bool), _BIG, d
+    )
+    i2 = jnp.argmin(masked, -1)
+    d2nd = jnp.take_along_axis(masked, i2[..., None], -1)[..., 0]
+    return d1, d2nd, jnp.stack([i1, i2], -1).astype(jnp.int32)
 
 
 def match_pair_from_dists(d2: jnp.ndarray, desc_i: jnp.ndarray, desc_j: jnp.ndarray,
                           valid_i: jnp.ndarray, valid_j: jnp.ndarray,
                           cfg: Config) -> MatchResult:
-    """Apply ratio + mutual-best acceptance to a [Ki,Kj] distance matrix."""
+    """Apply ratio + mutual-best acceptance to a [Ki,Kj] distance matrix.
+    Invalid rows/columns must already carry huge distances (see
+    `_sq_dist_matrix`'s valid_a/valid_b)."""
     Ki = d2.shape[0]
     r2 = jnp.float32(cfg.MATCH_REJECT_NEXT_RATIO ** 2)
-
-    d2 = jnp.where(valid_i[:, None] & valid_j[None, :], d2, _BIG)
 
     _, _, fwd_top = _top2_both(d2, axis=1)   # per query in i: top-2 NN in j
     _, _, rev_top = _top2_both(d2, axis=0)   # per target in j: top-2 NN in i
@@ -115,7 +135,8 @@ def match_pair(desc_i: jnp.ndarray, valid_i: jnp.ndarray,
                desc_j: jnp.ndarray, valid_j: jnp.ndarray, cfg: Config) -> MatchResult:
     """Match two descriptor sets ([K,128] each, mask-padded)."""
     return match_pair_from_dists(
-        _sq_dist_matrix(desc_i, desc_j), desc_i, desc_j, valid_i, valid_j, cfg
+        _sq_dist_matrix(desc_i, desc_j, valid_i, valid_j),
+        desc_i, desc_j, valid_i, valid_j, cfg,
     )
 
 

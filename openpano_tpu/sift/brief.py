@@ -107,11 +107,11 @@ def match_brief(desc_i, valid_i, desc_j, valid_j, cfg: Config) -> MatchResult:
     r2 = jnp.float32(cfg.MATCH_REJECT_NEXT_RATIO ** 2)
     d2 = jnp.where(valid_i[:, None] & valid_j[None, :], d2, big)
 
-    neg2f, idxf = jax.lax.top_k(-d2, 2)
-    fwd_d1, fwd_d2 = -neg2f[:, 0], -neg2f[:, 1]
+    from ..match.matcher import _top2_both
+
+    fwd_d1, fwd_d2, idxf = _top2_both(d2, axis=1)
     fwd_idx = idxf[:, 0]
-    neg2r, idxr = jax.lax.top_k(-d2.T, 2)
-    rev_d2 = -neg2r[:, 1]
+    _, rev_d2, idxr = _top2_both(d2, axis=0)
     rev_idx = idxr[:, 0]
 
     ok = fwd_d1 <= r2 * fwd_d2
