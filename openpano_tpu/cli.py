@@ -64,6 +64,83 @@ def mode_keypoint(args, cfg):
     print(f"Wrote {out}")
 
 
+def _working(img, cfg):
+    """Resize to SIFT working size (feature.cc:31-36)."""
+    import jax.numpy as jnp
+
+    from .ops.imgproc import resize, working_size
+
+    h, w = img.shape[:2]
+    wh, ww = working_size(w, h, cfg.SIFT_WORKING_SIZE)
+    return np.asarray(resize(jnp.asarray(img), wh, ww))
+
+
+def mode_raw_extrema(args, cfg):
+    """Draw unrefined DoG extrema candidates (test_extrema mode 0,
+    main.cc:41-58 / ExtremaDetector::get_raw_extrema)."""
+    import jax.numpy as jnp
+
+    from .io import read_img, write_rgb
+    from .ops.imgproc import rgb2grey
+    from .sift.extrema import _candidate_mask
+    from .sift.pyramid import build_scale_space
+    from .utils.draw import PlaneDrawer
+
+    img = read_img(args.images[0])
+    work = _working(img, cfg)
+    octaves = build_scale_space(jnp.asarray(work), cfg)
+    h, w = img.shape[:2]
+    pld = PlaneDrawer(img.copy())
+    total = 0
+    for octave in octaves:
+        mask = np.asarray(_candidate_mask(octave.dog, cfg))
+        oh, ow = mask.shape[1], mask.shape[2]
+        ss, yy, xx = np.nonzero(mask)
+        total += len(ss)
+        for y, x in zip(yy, xx):
+            pld.cross(x / ow * w, y / oh * h, 3)
+    print(f"Raw extrema: {total}")
+    out = _logpath("extrema.jpg")
+    write_rgb(out, pld.img)
+    print(f"Wrote {out}")
+
+
+def mode_orientation(args, cfg):
+    """Draw oriented keypoints as arrows (test_orientation, main.cc:65-82)."""
+    import jax.numpy as jnp
+
+    from .io import read_img, write_rgb
+    from .sift.detector import octave_caps
+    from .sift.extrema import detect_extrema
+    from .sift.orientation import assign_orientation
+    from .sift.pyramid import build_scale_space
+    from .utils.draw import PlaneDrawer
+
+    img = read_img(args.images[0])
+    work = _working(img, cfg)
+    octaves = build_scale_space(jnp.asarray(work), cfg)
+    h, w = img.shape[:2]
+    pld = PlaneDrawer(img.copy())
+    rng = np.random.default_rng(0)
+    total = 0
+    for oi, octave in enumerate(octaves):
+        caps = octave_caps(cfg, oi)
+        raw = detect_extrema(octave, cfg, cap_cand=caps[0], cap_kp=caps[1])
+        ori = assign_orientation(raw, octave, cfg, cap=caps[2])
+        keep = np.asarray(ori.valid)
+        xs = np.asarray(ori.real_x)[keep] * w
+        ys = np.asarray(ori.real_y)[keep] * h
+        dirs = np.asarray(ori.dir)[keep]
+        total += len(xs)
+        for x, y, d in zip(xs, ys, dirs):
+            pld.set_rand_color(rng)
+            pld.arrow(x, y, d, 7)
+    print(f"FeaturePoint size: {total}")
+    out = _logpath("orientation.jpg")
+    write_rgb(out, pld.img)
+    print(f"Wrote {out}")
+
+
 def mode_match(args, cfg, draw_inliers=False):
     import jax
     import jax.numpy as jnp
@@ -209,6 +286,8 @@ MODES = {
     "inlier": lambda a, c: mode_match(a, c, draw_inliers=True),
     "warp": mode_warp,
     "planet": mode_planet,
+    "raw_extrema": mode_raw_extrema,
+    "orientation": mode_orientation,
 }
 
 
