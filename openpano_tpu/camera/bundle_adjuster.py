@@ -150,6 +150,10 @@ def _pair_H(params, eff: _EffProblem):
     reference exploits symbolically (calcJacobianSymbolic,
     incremental_bundle_adjuster.cc:276-353); computing it per *pair* rather
     than per point is the batched equivalent."""
+    return _rows_H(params, eff.rows_from, eff.rows_to)
+
+
+def _rows_H(params, F, Tc):
     f, px, py = params[:, 0], params[:, 1], params[:, 2]
     R = rodrigues(params[:, 3:6])                        # [n,3,3]
     z = jnp.zeros_like(f)
@@ -161,7 +165,6 @@ def _pair_H(params, eff: _EffProblem):
     Kinv = jnp.stack([
         jnp.stack([fi, z, -px * fi], -1), jnp.stack([z, fi, -py * fi], -1),
         jnp.stack([z, z, o], -1)], -2)
-    F, Tc = eff.rows_from, eff.rows_to
     A = K[F] @ R[F]                                      # [P,3,3]
     Bq = jnp.swapaxes(R[Tc], -1, -2) @ Kinv[Tc]          # [P,3,3]
     return A @ Bq
@@ -171,6 +174,10 @@ def _pair_H_dH(params, eff: _EffProblem):
     """H [P,3,3] and dH/dtheta [P,12,3,3] for the 12 params of each pair's
     (from, to) cameras, all analytic (the chain pieces at
     incremental_bundle_adjuster.cc:84-95 and dRdvi at .cc:52-81)."""
+    return _rows_H_dH(params, eff.rows_from, eff.rows_to)
+
+
+def _rows_H_dH(params, F, Tc):
     dt = params.dtype
     f, px, py = params[:, 0], params[:, 1], params[:, 2]
     v = params[:, 3:6]
@@ -191,7 +198,6 @@ def _pair_H_dH(params, eff: _EffProblem):
         jnp.stack([z, -fi2, py * fi2], -1),
         jnp.stack([z, z, z], -1)], -2)                   # [n,3,3]
 
-    F, Tc = eff.rows_from, eff.rows_to
     KF, RF, dRF = K[F], R[F], dR[F]
     RtT = jnp.swapaxes(R[Tc], -1, -2)
     KinvT = Kinv[Tc]
@@ -348,6 +354,128 @@ def ba_optimize(params: jnp.ndarray, prob: BAProblem, identity_idx: jnp.ndarray,
         nr_nd = jnp.where(improved, 0, nr_nd + 1)
         # residuals for the next J^T r come from the evaluated state even if
         # rejected — reference quirk (.cc:117-160)
+        return best_flat, new_r, best_err, nr_nd, itr + 1
+
+    init = (flat0, r0, err0, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+    best_flat, _, _, _, _ = jax.lax.while_loop(cond, body, init)
+    return best_flat.reshape(n_cam, 6)
+
+
+class BAPairProblem(NamedTuple):
+    """Pair-major BA inputs: uniform [P, M] point slabs per pair.
+
+    The incremental estimator's fast path.  Versus the point-major segment
+    layout, the per-pair block sums of the normal equations become batched
+    matmuls ([P,12,2M] x [P,2M,12]) with no [T,144] cumulative-sum
+    intermediate — an order of magnitude less memory traffic per LM
+    iteration, which dominates the f64 host solve.  Padding rows carry w=0.
+    """
+
+    pt_to: jnp.ndarray    # [P,M,2] half-shifted coords, stored orientation
+    pt_from: jnp.ndarray  # [P,M,2]
+    w: jnp.ndarray        # [P,M] point weight (0 = padding)
+    cam_to: jnp.ndarray   # [P] stored 'to' camera index
+    cam_from: jnp.ndarray # [P]
+    swapped: jnp.ndarray  # [P] bool — flip the pair's direction
+    pair_w: jnp.ndarray   # [P] activation weight (0 = inactive pair)
+
+
+def _pairs_eff(prob: BAPairProblem):
+    """(pt_to, pt_from, wm, rows_from, rows_to) with the swap resolved."""
+    sw = prob.swapped[:, None, None]
+    pt_to = jnp.where(sw, prob.pt_from, prob.pt_to)
+    pt_from = jnp.where(sw, prob.pt_to, prob.pt_from)
+    rows_to = jnp.where(prob.swapped, prob.cam_from, prob.cam_to)
+    rows_from = jnp.where(prob.swapped, prob.cam_to, prob.cam_from)
+    wm = prob.w * prob.pair_w[:, None]
+    return pt_to, pt_from, wm, rows_from, rows_to
+
+
+def _pairs_residuals(params, prob: BAPairProblem):
+    """Weighted residuals [P,M,2] (calcError, .cc:171-197)."""
+    pt_to, pt_from, wm, F, Tc = _pairs_eff(prob)
+    H = _rows_H(params, F, Tc)                           # [P,3,3]
+    ph = jnp.concatenate([pt_to, jnp.ones_like(pt_to[..., :1])], -1)
+    u = jnp.einsum("pij,pmj->pmi", H, ph)
+    zok = jnp.abs(u[..., 2]) > 1e-20
+    zs = jnp.where(zok, u[..., 2], 1e-20)
+    r = pt_from - u[..., :2] / zs[..., None]
+    return r * wm[..., None], wm
+
+
+def _pairs_normal_equations(params, resid_w, prob: BAPairProblem, n_cam):
+    """JtJ [6n,6n], Jtb [6n] — per-pair blocks via batched matmul."""
+    pt_to, _, wm, F, Tc = _pairs_eff(prob)
+    H, dH = _rows_H_dH(params, F, Tc)
+    ph = jnp.concatenate([pt_to, jnp.ones_like(pt_to[..., :1])], -1)
+    u = jnp.einsum("pij,pmj->pmi", H, ph)
+    zok = jnp.abs(u[..., 2]) > 1e-20
+    zs = jnp.where(zok, u[..., 2], 1e-20)
+    du = jnp.einsum("pkij,pmj->pmki", dH, ph)            # [P,M,12,3]
+    zi = 1.0 / zs
+    zterm = jnp.where(zok, zi * zi, 0.0)
+    Jx = -(du[..., 0] * zi[..., None]
+           - du[..., 2] * (u[..., 0] * zterm)[..., None])
+    Jy = -(du[..., 1] * zi[..., None]
+           - du[..., 2] * (u[..., 1] * zterm)[..., None])
+    Jp = jnp.stack([Jx, Jy], axis=-2) * wm[..., None, None]  # [P,M,2,12]
+
+    P, M = wm.shape
+    Jf = Jp.reshape(P, M * 2, 12)
+    Bp = jnp.einsum("pti,ptj->pij", Jf, Jf)              # [P,12,12] (MXU/BLAS)
+    bp = jnp.einsum("pti,pt->pi", Jf, resid_w.reshape(P, M * 2))
+
+    n6 = n_cam * 6
+    offs = jnp.arange(6)
+    rows = jnp.concatenate([F[:, None] * 6 + offs, Tc[:, None] * 6 + offs], 1)
+    JtJ = jnp.zeros((n6, n6), params.dtype)
+    JtJ = JtJ.at[rows[:, :, None], rows[:, None, :]].add(Bp)
+    Jtb = jnp.zeros((n6,), params.dtype).at[rows].add(bp)
+    return JtJ, Jtb
+
+
+@functools.partial(jax.jit, static_argnames=("n_cam", "lm_lambda"))
+def ba_optimize_pairs(params: jnp.ndarray, prob: BAPairProblem,
+                      identity_idx: jnp.ndarray, n_cam: int,
+                      lm_lambda: float) -> jnp.ndarray:
+    """LM loop (optimize(), .cc:117-168) over a pair-major problem.  Same
+    semantics as :func:`ba_optimize`: fixed split damping, identity-camera
+    rotation freeze, >1e-3 RMS improvement acceptance, stop after 5
+    consecutive non-improvements, residuals for J^T r taken from the most
+    recently *evaluated* state (reference quirk)."""
+    dtype = params.dtype
+    flat0 = params.reshape(-1)
+
+    upd_mask = jnp.ones((n_cam, 6), dtype)
+    upd_mask = upd_mask.at[identity_idx, 3:].set(0.0)
+    upd_mask = upd_mask.reshape(-1)
+    damp = jnp.where(jnp.arange(n_cam * 6) % 6 >= 3, lm_lambda, lm_lambda / 10.0)
+
+    def rms(r, wm):
+        npts = jnp.sum(wm > 0) * 2.0
+        return jnp.sqrt(jnp.sum(r * r) / jnp.maximum(npts, 1.0))
+
+    r0, wm0 = _pairs_residuals(flat0.reshape(n_cam, 6), prob)
+    err0 = rms(r0, wm0)
+
+    def cond(carry):
+        _, _, _, nr_nd, itr = carry
+        return (itr < LM_MAX_ITER) & (nr_nd <= NR_NON_DECREASE)
+
+    def body(carry):
+        best_flat, resid, best_err, nr_nd, itr = carry
+        JtJ, Jtb = _pairs_normal_equations(
+            best_flat.reshape(n_cam, 6), resid, prob, n_cam
+        )
+        A = JtJ + jnp.diag(damp)
+        delta = jnp.linalg.solve(A, Jtb[:, None])[:, 0]
+        new_flat = best_flat - delta * upd_mask
+        new_r, wm = _pairs_residuals(new_flat.reshape(n_cam, 6), prob)
+        new_err = rms(new_r, wm)
+        improved = new_err < best_err - 1e-3
+        best_flat = jnp.where(improved, new_flat, best_flat)
+        best_err = jnp.where(improved, new_err, best_err)
+        nr_nd = jnp.where(improved, 0, nr_nd + 1)
         return best_flat, new_r, best_err, nr_nd, itr + 1
 
     init = (flat0, r0, err0, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))

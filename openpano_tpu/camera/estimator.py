@@ -19,19 +19,41 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import Config
-from .bundle_adjuster import BAProblem, ba_optimize
+from .bundle_adjuster import BAPairProblem, ba_optimize_pairs
 from .camera import CameraSet, estimate_focal, intrinsic, straighten
-from .rotation import rodrigues, rotation_to_angle
+from .rotation import GEO_EPS_SQR
 
 
 def _np_rod(v: np.ndarray) -> np.ndarray:
-    with jax.default_device(jax.devices("cpu")[0]):
-        return np.asarray(rodrigues(jnp.asarray(v, jnp.float64)))
+    """Pure-numpy axis-angle -> R (semantics of rotation.rodrigues /
+    camera.cc:120-144); host-side to avoid per-edge device dispatches."""
+    v = np.asarray(v, np.float64)
+    theta2 = float(v @ v)
+    K = np.array([[0, -v[2], v[1]], [v[2], 0, -v[0]], [-v[1], v[0], 0]])
+    if theta2 < GEO_EPS_SQR:
+        return np.eye(3) + K
+    theta = np.sqrt(theta2)
+    u = v / theta
+    Ku = K / theta
+    c, s = np.cos(theta), np.sin(theta)
+    return c * np.eye(3) + (1 - c) * np.outer(u, u) + s * Ku
 
 
 def _np_unrod(R: np.ndarray) -> np.ndarray:
-    with jax.default_device(jax.devices("cpu")[0]):
-        return np.asarray(rotation_to_angle(jnp.asarray(R, jnp.float64)))
+    """Pure-numpy R -> axis-angle with SVD re-orthogonalization (semantics
+    of rotation.rotation_to_angle / camera.cc:91-117)."""
+    U, _, Vt = np.linalg.svd(np.asarray(R, np.float64))
+    Rn = U @ Vt
+    if np.linalg.det(Rn) < 0:
+        Rn = -Rn
+    r = np.array([
+        Rn[2, 1] - Rn[1, 2], Rn[0, 2] - Rn[2, 0], Rn[1, 0] - Rn[0, 1]
+    ])
+    s = np.linalg.norm(r)
+    if s < 1e-7:  # GEO_EPS
+        return np.zeros(3)
+    theta = np.arccos(np.clip((np.trace(Rn) - 1) * 0.5, -1.0, 1.0))
+    return r * (theta / s)
 
 
 def traverse_spanning_tree(confidence: np.ndarray):
@@ -101,56 +123,44 @@ def estimate_cameras(
 
     root, edges = traverse_spanning_tree(confidence)
 
-    # ---- build the static point-major BA problem over all confident
-    # unordered pairs: compact every valid match point into flat [T] arrays
-    # (the pair-major [P,M] layout is mostly padding; compaction makes each
-    # LM iteration ~|inliers| work instead of P*M) ----
-    conn = [(i, j) for i in range(n) for j in range(i + 1, n)
-            if confidence[i, j] > 0 and valid[i, j].any()]
-    pair_slot = {p: s for s, p in enumerate(conn)}
-    P = max(len(conn), 1)
-    pt_pair, cam_a, cam_b, pt_to_a, pt_from_b, counts = [], [], [], [], [], []
-    for s, (a, b) in enumerate(conn):
-        m = valid[a, b]
-        cnt = int(m.sum())
-        counts.append(cnt)
-        pt_pair.append(np.full(cnt, s, np.int32))
-        cam_a.append(a)
-        cam_b.append(b)
-        pt_to_a.append(to_pos[a, b][m])      # coords in image a (stored 'to')
-        pt_from_b.append(from_pos[a, b][m])  # coords in image b (stored 'from')
-    if pt_pair:
-        pt_pair = np.concatenate(pt_pair)
-        pt_to_a = np.concatenate(pt_to_a)
-        pt_from_b = np.concatenate(pt_from_b)
-    else:
-        pt_pair = np.zeros(0, np.int32)
-        pt_to_a = pt_from_b = np.zeros((0, 2))
-        counts = [0]
-        cam_a = cam_b = [0]
-    while len(cam_a) < P:
-        cam_a.append(0)
-        cam_b.append(0)
-        counts.append(0)
-    ends = np.cumsum(counts).astype(np.int32)
-    starts = (ends - np.asarray(counts, np.int32)).astype(np.int32)
+    # ---- build the pair-major BA problem over all confident unordered
+    # pairs, slots ordered by *activation step* of the incremental schedule
+    # (camera_estimator.cc:74-99): pair (i,j) activates when its later
+    # endpoint joins the tree, so the active set is always a slot prefix and
+    # each run_ba dispatches only ~active work (bucketed static shapes) ----
+    conn = {(i, j) for i in range(n) for j in range(i + 1, n)
+            if confidence[i, j] > 0 and valid[i, j].any()}
 
-    pair_active = np.zeros(P)
-    # True when the traverse-chosen orientation has to=b (swapped vs stored)
+    activation: list[tuple[tuple[int, int], bool]] = []  # (key, swapped)
+    visited_sim = {root}
+    for _, nxt in edges:
+        visited_sim.add(nxt)
+        for i in sorted(visited_sim - {nxt}):
+            key = (min(i, nxt), max(i, nxt))
+            if key in conn:
+                # stored orientation is to=key[0], from=key[1]; the schedule
+                # wants to=nxt (add_match(i, next): from=i, to=next, cc:76-88)
+                activation.append((key, key[1] == nxt))
+
+    P = max(len(activation), 1)
+    counts = [int(valid[a, b].sum()) for (a, b), _ in activation]
+    M = max(max(counts, default=1), 1)
+    M = -(-M // 64) * 64                          # bucket M: multiples of 64
+    pt_to_slab = np.zeros((P, M, 2))
+    pt_from_slab = np.zeros((P, M, 2))
+    w_slab = np.zeros((P, M))
+    cam_a = np.zeros(P, np.int32)
+    cam_b = np.zeros(P, np.int32)
     pair_swapped = np.zeros(P, bool)
-
-    visited = {root}
-
-    def activate_pair(i, nxt) -> bool:
-        """add_match(i, next) (camera_estimator.cc:76-88): from=i, to=next."""
-        key = (min(i, nxt), max(i, nxt))
-        if key not in pair_slot:
-            return False
-        s = pair_slot[key]
-        # stored orientation: to=a, from=b
-        pair_swapped[s] = (key[1] == nxt)   # to must be nxt
-        pair_active[s] = 1.0
-        return True
+    for s, ((a, b), sw) in enumerate(activation):
+        m = valid[a, b]
+        cnt = counts[s]
+        pt_to_slab[s, :cnt] = to_pos[a, b][m]     # coords in image a ('to')
+        pt_from_slab[s, :cnt] = from_pos[a, b][m]
+        w_slab[s, :cnt] = 1.0
+        cam_a[s] = a                              # stored: to=a, from=b
+        cam_b[s] = b
+        pair_swapped[s] = sw
 
     # BA placement: host CPU by default (tiny f64 LM; see Config.BA_ON_HOST)
     if cfg.BA_ON_HOST:
@@ -158,34 +168,37 @@ def estimate_cameras(
     else:
         ba_ctx = contextlib.nullcontext
 
-    # static point data uploaded once; per run only swapped/pair_w change
-    with ba_ctx():
-        static_prob = BAProblem(
-            pt_to=jnp.asarray(pt_to_a),
-            pt_from=jnp.asarray(pt_from_b),
-            pair_id=jnp.asarray(pt_pair),
-            w=jnp.ones(pt_pair.shape[0], jnp.float64),
-            starts=jnp.asarray(starts),
-            ends=jnp.asarray(ends),
-            cam_to=jnp.asarray(cam_a, jnp.int32),    # stored: to=a, from=b
-            cam_from=jnp.asarray(cam_b, jnp.int32),
-            swapped=jnp.zeros(P, bool),
-            pair_w=jnp.zeros(P, jnp.float64),
-        )
+    n_active = 0
 
     def run_ba():
         nonlocal params
+        if n_active == 0:
+            return
+        # prefix bucket: smallest power-of-two >= active count (min 8),
+        # capped at P — a handful of compiled LM shapes for the schedule
+        b = 8
+        while b < n_active:
+            b <<= 1
+        b = min(b, P)
+        pw = np.zeros(b)
+        pw[:n_active] = 1.0
         with ba_ctx():
-            prob = static_prob._replace(
-                swapped=jnp.asarray(pair_swapped),
-                pair_w=jnp.asarray(pair_active),
+            prob = BAPairProblem(
+                pt_to=jnp.asarray(pt_to_slab[:b]),
+                pt_from=jnp.asarray(pt_from_slab[:b]),
+                w=jnp.asarray(w_slab[:b]),
+                cam_to=jnp.asarray(cam_a[:b]),
+                cam_from=jnp.asarray(cam_b[:b]),
+                swapped=jnp.asarray(pair_swapped[:b]),
+                pair_w=jnp.asarray(pw),
             )
             params = np.array(
-                ba_optimize(
+                ba_optimize_pairs(
                     jnp.asarray(params), prob, jnp.asarray(root), n, cfg.LM_LAMBDA
                 )
             )
 
+    visited = {root}
     for now, nxt in edges:
         # initialize camera[nxt] from camera[now] (camera_estimator.cc:59-69)
         K_now = intrinsic(params[now, 0], params[now, 1], params[now, 2])
@@ -200,14 +213,18 @@ def estimate_cameras(
         visited.add(nxt)
         if cfg.MULTIPASS_BA > 0:
             for i in sorted(visited - {nxt}):
-                if activate_pair(i, nxt) and cfg.MULTIPASS_BA == 2:
-                    run_ba()                      # BA after each connection
+                if (min(i, nxt), max(i, nxt)) in conn:
+                    n_active += 1
+                    if cfg.MULTIPASS_BA == 2:
+                        run_ba()                  # BA after each connection
             if cfg.MULTIPASS_BA == 1:
                 run_ba()                          # BA after each image
 
     if cfg.MULTIPASS_BA == 0:                     # camera_estimator.cc:92-99
-        for i, j in conn:
-            activate_pair(i, j)
+        # one global BA; the reference adds every pair as add_match(i, j)
+        # with j < i, i.e. to = the smaller index = stored orientation
+        pair_swapped[:] = False
+        n_active = len(activation)
         run_ba()
 
     cams = CameraSet(

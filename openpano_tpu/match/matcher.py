@@ -161,6 +161,21 @@ def match_all_pairs(desc: jnp.ndarray, valid: jnp.ndarray, cfg: Config) -> Match
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
+def match_ring_pairs(desc: jnp.ndarray, valid: jnp.ndarray, cfg: Config) -> MatchResult:
+    """All (i, (i+1) mod n) pairs including the head-tail wrap — the ordered
+    path of Stitcher::linear_pairwise_match (stitch/stitcher.cc:116-136),
+    where the wrap pair is allowed to fail.  One fused dispatch."""
+    n = desc.shape[0]
+    ii = jnp.arange(n)
+    jj = (ii + 1) % n
+
+    def one(i, j):
+        return match_pair(desc[i], valid[i], desc[j], valid[j], cfg)
+
+    return jax.vmap(one)(ii, jj)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def match_adjacent_pairs(desc: jnp.ndarray, valid: jnp.ndarray, cfg: Config) -> MatchResult:
     """Only (i, i+1) pairs for ordered input (reference:
     Stitcher::linear_pairwise_match, stitch/stitcher.cc:116-136)."""

@@ -198,3 +198,473 @@ def gather_window_slabs(a: jnp.ndarray, b: jnp.ndarray, s: jnp.ndarray,
     """
     assert WR % 8 == 0, WR
     return _make_win2(WR)(a, b, s, y, x)
+
+
+# ---------------------------------------------------------------------------
+# Fused orientation histogram: window DMA + circular-window gaussian weights
+# + 36-bin hard-binned histogram, all inside one kernel.
+#
+# The slab-then-histogram formulation materializes [K, WR, 256] mag/ort
+# slabs in HBM and re-reads them once per bin (36 masked reductions) — the
+# dominant HBM traffic of the SIFT stage.  Here the slabs only ever live in
+# VMEM scratch and the kernel writes just the [K, NBINS] histograms
+# (reference: per-keypoint scalar loop at feature/orientation.cc:47-66).
+# ---------------------------------------------------------------------------
+
+ORI_NBINS = 36  # ORI_HIST_BIN_NUM (config.hh:74)
+
+
+def _ori_hist_math(mag, ort, dy, dx, plane_y, plane_x, rad, invden,
+                   H: int, W: int, nbins: int):
+    """Shared per-element math (kernel and XLA fallback).  All inputs
+    broadcast to [..., WR, LANES]; rad/invden broadcast per keypoint.
+    Semantics mirror orientation.cc:47-66 via sift/orientation.py."""
+    r2 = dy * dy + dx * dx
+    inside = (
+        (dy >= -rad) & (dy <= rad - 1) & (dx >= -rad) & (dx <= rad - 1)
+        & (r2 <= rad * rad)
+        & (plane_x >= 1) & (plane_x <= W - 2)
+        & (plane_y >= 1) & (plane_y <= H - 2)
+    )
+    wgt = jnp.where(inside, jnp.exp(-r2 * invden) * mag, 0.0)
+    # round-half-away hard binning (ort >= 0 always); nbins wraps to 0
+    b = jnp.floor(ort * (nbins / (2.0 * jnp.pi)) + 0.5).astype(jnp.int32)
+    b = jnp.where(b >= nbins, b - nbins, b)
+    return wgt, b
+
+
+@functools.lru_cache(maxsize=32)
+def _ori_hist_pallas(S: int, Hp: int, Wp: int, K: int, WR: int,
+                     H: int, W: int, interpret: bool = False):
+    """Everything in the kernel is 2-D: the block's _BK keypoint slabs are
+    stacked on the sublane axis as [_BK*WR, 256], per-row metadata rides in
+    a [_BK*WR, 8] side input, and the per-keypoint reduction of row partial
+    histograms is a tiny [_BK, _BK*WR] x [_BK*WR, 36] segment matmul (2-D
+    layouts avoid Mosaic's rank-1/3 layout corner cases)."""
+    nblk = -(-K // _BK)
+    BKWR = _BK * WR
+
+    def kernel(s_ref, r0_ref, c0_ref, meta_ref, a_ref, b_ref, out_ref,
+               maga, orta, sem):
+        i = pl.program_id(0)
+
+        def dma(k, plane_ref, scr_ref, slot):
+            kk = i * jnp.int32(_BK) + jnp.int32(k)
+            r0 = pl.multiple_of(r0_ref[kk], 8)
+            c0 = pl.multiple_of(c0_ref[kk], 128)
+            return pltpu.make_async_copy(
+                plane_ref.at[s_ref[kk], pl.ds(r0, WR), pl.ds(c0, SLAB_LANES)],
+                scr_ref.at[pl.ds(k * WR, WR)],
+                sem.at[jnp.int32(k), jnp.int32(slot)],
+            )
+
+        for k in range(_BK):
+            dma(k, a_ref, maga, 0).start()
+            dma(k, b_ref, orta, 1).start()
+        for k in range(_BK):
+            dma(k, a_ref, maga, 0).wait()
+            dma(k, b_ref, orta, 1).wait()
+
+        m = meta_ref[...]                     # [BKWR, 8] f32
+        dy = m[:, 0:1]                        # r0 - y + row, per slab row
+        dxb = m[:, 1:2]                       # c0 - x
+        rad, invden = m[:, 2:3], m[:, 3:4]
+        py = m[:, 4:5]                        # plane row r0 + row
+        c0f = m[:, 5:6]
+
+        shp = (BKWR, SLAB_LANES)
+        ic = jax.lax.broadcasted_iota(jnp.int32, shp, 1).astype(jnp.float32)
+        wgt, bins = _ori_hist_math(
+            maga[...], orta[...], dy, ic + dxb,
+            py, ic + c0f, rad, invden, H, W, ORI_NBINS,
+        )
+        rows = jnp.concatenate([
+            jnp.sum(jnp.where(bins == b, wgt, 0.0), axis=1, keepdims=True)
+            for b in range(ORI_NBINS)
+        ], axis=1)                            # [BKWR, 36] row partials
+        # segment matmul: out[k, b] = sum of rows[k*WR:(k+1)*WR, b]
+        kp_of_row = jax.lax.broadcasted_iota(jnp.int32, (_BK, BKWR), 1) // WR
+        kp_id = jax.lax.broadcasted_iota(jnp.int32, (_BK, BKWR), 0)
+        seg = (kp_of_row == kp_id).astype(jnp.float32)
+        out_ref[...] = jnp.dot(seg, rows, preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((BKWR, 8), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec((_BK, ORI_NBINS), lambda i, *_: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((BKWR, SLAB_LANES), jnp.float32),
+            pltpu.VMEM((BKWR, SLAB_LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((_BK, 2)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nblk * _BK, ORI_NBINS), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )
+
+
+def _ori_hist_xla(ap, bp, sc, r0, c0, y, x, rad, invden, H, W, WR):
+    """Fallback: identical semantics via element gather on padded planes."""
+    wa, wb = _win2_xla(ap, bp, sc, r0, c0, WR)
+    ir = jnp.arange(WR, dtype=jnp.float32)[None, :, None]
+    ic = jnp.arange(SLAB_LANES, dtype=jnp.float32)[None, None, :]
+    r0f = r0.astype(jnp.float32)[:, None, None]
+    c0f = c0.astype(jnp.float32)[:, None, None]
+    yf = y.astype(jnp.float32)[:, None, None]
+    xf = x.astype(jnp.float32)[:, None, None]
+    wgt, bins = _ori_hist_math(
+        wa, wb, ir + r0f - yf, ic + c0f - xf, ir + r0f, ic + c0f,
+        rad[:, None, None], invden[:, None, None], H, W, ORI_NBINS,
+    )
+    cols = [
+        jnp.sum(jnp.where(bins == b, wgt, 0.0), axis=(1, 2))
+        for b in range(ORI_NBINS)
+    ]
+    return jnp.stack(cols, axis=-1)
+
+
+@functools.lru_cache(maxsize=32)
+def _make_ori_hist(WR: int):
+    @jax.custom_batching.custom_vmap
+    def ori_hist(a, b, s, y, x, rad, invden):
+        S, H, W = a.shape
+        K = s.shape[0]
+        sc, r0, c0 = _starts(s, y, x, S, H, W, WR)
+        ap, bp = _pad_plane(a, WR), _pad_plane(b, WR)
+        on_tpu = jax.default_backend() == "tpu"
+        if not on_tpu and not INTERPRET:
+            return _ori_hist_xla(ap, bp, sc, r0, c0, y, x, rad, invden, H, W, WR)
+        nblk = -(-K // _BK)
+        padn = nblk * _BK - K
+        if padn:
+            sc, r0, c0 = (jnp.pad(v, (0, padn)) for v in (sc, r0, c0))
+            y, x = (jnp.pad(v, (0, padn)) for v in (y, x))
+            rad, invden = (jnp.pad(v, (0, padn)) for v in (rad, invden))
+        # per-slab-row metadata [Kp*WR, 8]: cols 0=dy(row), 1=c0-x, 2=rad,
+        # 3=invden, 4=plane row (r0+row), 5=c0
+        rws = jnp.arange(WR, dtype=jnp.float32)[None, :]        # [1, WR]
+        r0f = r0.astype(jnp.float32)[:, None]
+        rep = lambda v: jnp.broadcast_to(v.astype(jnp.float32)[:, None],
+                                         (v.shape[0], WR))
+        meta = jnp.stack([
+            r0f + rws - rep(y), rep(c0.astype(jnp.float32) - x),
+            rep(rad), rep(invden), r0f + rws, rep(c0),
+            jnp.zeros_like(rep(rad)), jnp.zeros_like(rep(rad)),
+        ], axis=-1).reshape(nblk * _BK * WR, 8)
+        with jax.enable_x64(False):
+            hist = _ori_hist_pallas(S, ap.shape[1], ap.shape[2], K, WR, H, W,
+                                    interpret=not on_tpu)(sc, r0, c0, meta, ap, bp)
+        return hist[:K]
+
+    @ori_hist.def_vmap
+    def _ori_hist_vmap(axis_size, in_batched, a, b, s, y, x, rad, invden):
+        ab, bb, sb, yb, xb, rb, ib = in_batched
+        B = axis_size
+        bcast = lambda v, was: v if was else jnp.broadcast_to(v[None], (B,) + v.shape)
+        a, b = bcast(a, ab), bcast(b, bb)
+        s, y, x = bcast(s, sb), bcast(y, yb), bcast(x, xb)
+        rad, invden = bcast(rad, rb), bcast(invden, ib)
+        _, S, H, W = a.shape
+        K = s.shape[1]
+        s_flat = (s.astype(jnp.int32)
+                  + (jnp.arange(B, dtype=jnp.int32) * S)[:, None]).reshape(-1)
+        hist = ori_hist(
+            a.reshape(B * S, H, W), b.reshape(B * S, H, W),
+            s_flat, y.reshape(-1), x.reshape(-1),
+            rad.reshape(-1), invden.reshape(-1),
+        )
+        return hist.reshape(B, K, ORI_NBINS), True
+
+    return ori_hist
+
+
+# ---------------------------------------------------------------------------
+# Fused SIFT descriptor histogram: window DMA + rotated trilinear soft
+# binning into 4x4 spatial x 8 orientation bins, fused like the orientation
+# kernel above (reference: per-keypoint scalar loop at feature/sift.cc:87-152
+# with trilinear_interpolate at sift.cc:48-67).  Output is the raw [K, 128]
+# histogram; RootSIFT normalization stays outside (sift.cc:37-45).
+# ---------------------------------------------------------------------------
+
+DESC_W4 = 4    # DESC_HIST_WIDTH (config.hh:77)
+DESC_NB = 8    # DESC_HIST_BIN_NUM (config.hh:78)
+
+
+def _desc_elem_math(mag, ort, fy, fx, plane_y, plane_x, radius, hw,
+                    cos_o, sin_o, dirv, H: int, W: int):
+    """Per-element weight + bin coordinates (sift.cc:99-144 semantics).
+    All inputs broadcast against the slab shape."""
+    W4 = DESC_W4
+    r2 = fy * fy + fx * fx
+    inside = (
+        (jnp.abs(fy) <= radius) & (jnp.abs(fx) <= radius)
+        & (r2 <= radius * radius)
+        & (plane_x >= 1) & (plane_x <= W - 2)
+        & (plane_y >= 1) & (plane_y <= H - 2)
+    )
+    x_rot = (fx * cos_o + fy * sin_o) / hw
+    y_rot = (-fx * sin_o + fy * cos_o) / hw
+    ybin = y_rot + W4 / 2 - 0.5
+    xbin = x_rot + W4 / 2 - 0.5
+    inside &= (ybin >= -1) & (ybin <= W4 - 1) & (xbin >= -1) & (xbin <= W4 - 1)
+    wgt = jnp.exp(-(x_rot * x_rot + y_rot * y_rot) / (2.0 * W4 * W4)) * mag
+    wgt = jnp.where(inside, wgt, 0.0)
+    now_ort = ort - dirv
+    now_ort = jnp.where(now_ort < 0, now_ort + 2 * jnp.pi, now_ort)
+    now_ort = jnp.where(now_ort > 2 * jnp.pi, now_ort - 2 * jnp.pi, now_ort)
+    hbin = now_ort * (DESC_NB / (2.0 * jnp.pi))
+    return wgt, ybin, xbin, hbin
+
+
+_BKD = 8  # keypoints per descriptor grid step (VMEM-bounded: the live set
+          # is ~6 slab-sized f32 arrays + 8 A/B hats at [_BKD*WR, 256])
+
+
+@functools.lru_cache(maxsize=32)
+def _desc_hist_pallas(S: int, Hp: int, Wp: int, K: int, WR: int,
+                      H: int, W: int, interpret: bool = False):
+    nblk = -(-K // _BKD)
+    BKWR = _BKD * WR
+    NB, W4 = DESC_NB, DESC_W4
+
+    def kernel(s_ref, r0_ref, c0_ref, meta_ref, a_ref, b_ref, out_ref,
+               maga, orta, sem):
+        i = pl.program_id(0)
+
+        def dma(k, plane_ref, scr_ref, slot):
+            kk = i * jnp.int32(_BKD) + jnp.int32(k)
+            r0 = pl.multiple_of(r0_ref[kk], 8)
+            c0 = pl.multiple_of(c0_ref[kk], 128)
+            return pltpu.make_async_copy(
+                plane_ref.at[s_ref[kk], pl.ds(r0, WR), pl.ds(c0, SLAB_LANES)],
+                scr_ref.at[pl.ds(k * WR, WR)],
+                sem.at[jnp.int32(k), jnp.int32(slot)],
+            )
+
+        for k in range(_BKD):
+            dma(k, a_ref, maga, 0).start()
+            dma(k, b_ref, orta, 1).start()
+        for k in range(_BKD):
+            dma(k, a_ref, maga, 0).wait()
+            dma(k, b_ref, orta, 1).wait()
+
+        m = meta_ref[...]                     # [BKWR, 16] f32
+        dy, dxb = m[:, 0:1], m[:, 1:2]
+        radius, hw = m[:, 2:3], m[:, 3:4]
+        py, c0f = m[:, 4:5], m[:, 5:6]
+        cos_o, sin_o, dirv = m[:, 6:7], m[:, 7:8], m[:, 8:9]
+
+        shp = (BKWR, SLAB_LANES)
+        ic = jax.lax.broadcasted_iota(jnp.int32, shp, 1).astype(jnp.float32)
+        wgt, ybin, xbin, hbin = _desc_elem_math(
+            maga[...], orta[...], dy, ic + dxb, py, ic + c0f,
+            radius, hw, cos_o, sin_o, dirv, H, W,
+        )
+        hat = lambda d: jnp.maximum(0.0, 1.0 - jnp.abs(d))
+
+        # fori_loop (not an unrolled python loop) over the 128 bins so
+        # Mosaic reuses the per-iteration slab-sized temporaries — an
+        # unrolled loop allocates every iteration's buffers on the kernel
+        # stack simultaneously and blows the 16 MB scoped-vmem limit
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, W4 * W4 * NB), 1)
+
+        def body(c, acc):
+            # lax.div/rem on non-negative i32 == floor semantics; jnp's //
+            # builds sign-fixup consts that trip Mosaic's no-i64 rule
+            div, rem = jax.lax.div, jax.lax.rem
+            f32 = lambda v: jax.lax.convert_element_type(v, jnp.float32)
+            by = f32(div(c, jnp.int32(W4 * NB)))
+            bx = f32(rem(div(c, jnp.int32(NB)), jnp.int32(W4)))
+            o = f32(rem(c, jnp.int32(NB)))
+            wab = wgt * hat(ybin - by) * hat(xbin - bx)
+            d = jnp.abs(hbin - o)
+            co = hat(jnp.minimum(d, NB - d))
+            col = jnp.sum(wab * co, axis=1, keepdims=True)   # [BKWR, 1]
+            # place into lane c via mask (dynamic-lane ref stores are not
+            # lowerable); one fused select+add per iteration
+            return acc + jnp.where(lane == c, col, 0.0)
+
+        rows = jax.lax.fori_loop(
+            0, W4 * W4 * NB, body,
+            jnp.zeros((BKWR, W4 * W4 * NB), jnp.float32),
+        )
+        kp_of_row = jax.lax.broadcasted_iota(jnp.int32, (_BKD, BKWR), 1) // WR
+        kp_id = jax.lax.broadcasted_iota(jnp.int32, (_BKD, BKWR), 0)
+        seg = (kp_of_row == kp_id).astype(jnp.float32)
+        out_ref[...] = jnp.dot(seg, rows, preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((BKWR, 16), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec((_BKD, W4 * W4 * NB), lambda i, *_: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((BKWR, SLAB_LANES), jnp.float32),
+            pltpu.VMEM((BKWR, SLAB_LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((_BKD, 2)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nblk * _BKD, W4 * W4 * NB), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )
+
+
+def _desc_hist_xla(ap, bp, sc, r0, c0, y, x, radius, hw, cos_o, sin_o, dirv,
+                   H, W, WR):
+    """Fallback with identical semantics; chunked to bound the [C,P,16]
+    soft-binning intermediate (the pre-kernel implementation)."""
+    NB, W4 = DESC_NB, DESC_W4
+    K = sc.shape[0]
+    CH = 128
+    nchunk = max(1, -(-K // CH))
+    Kp = nchunk * CH
+    pad = lambda v: jnp.pad(v, (0, Kp - K)).reshape(nchunk, CH)
+
+    ir = jnp.arange(WR, dtype=jnp.float32)[None, :, None]
+    ic = jnp.arange(SLAB_LANES, dtype=jnp.float32)[None, None, :]
+
+    def one(args):
+        sc_, r0_, c0_, y_, x_, rad_, hw_, co_, so_, dv_ = args
+        wa, wb = _win2_xla(ap, bp, sc_, r0_, c0_, WR)
+        r0f = r0_.astype(jnp.float32)[:, None, None]
+        c0f = c0_.astype(jnp.float32)[:, None, None]
+        fy = ir + r0f - y_.astype(jnp.float32)[:, None, None]
+        fx = ic + c0f - x_.astype(jnp.float32)[:, None, None]
+        wgt, ybin, xbin, hbin = _desc_elem_math(
+            wa, wb, fy, fx, ir + r0f, ic + c0f,
+            rad_[:, None, None], hw_[:, None, None],
+            co_[:, None, None], so_[:, None, None], dv_[:, None, None], H, W,
+        )
+        P = WR * SLAB_LANES
+        flat = lambda a: a.reshape(CH, P)
+        hat = lambda d: jnp.maximum(0.0, 1.0 - jnp.abs(d))
+        by = jnp.arange(W4, dtype=jnp.float32)
+        A = hat(flat(ybin)[:, :, None] - by)
+        B = hat(flat(xbin)[:, :, None] - by)
+        bo = jnp.arange(NB, dtype=jnp.float32)
+        do_ = jnp.abs(flat(hbin)[:, :, None] - bo)
+        C_ = hat(jnp.minimum(do_, NB - do_))
+        WAB = (flat(wgt)[:, :, None, None] * A[:, :, :, None]
+               * B[:, :, None, :]).reshape(CH, P, W4 * W4)
+        return jnp.einsum(
+            "cpq,cpo->cqo", WAB, C_, precision=jax.lax.Precision.HIGHEST
+        ).reshape(CH, W4 * W4 * NB)
+
+    hists = jax.lax.map(one, (
+        pad(sc), pad(r0), pad(c0), pad(y), pad(x),
+        pad(radius), pad(hw), pad(cos_o), pad(sin_o), pad(dirv),
+    ))
+    return hists.reshape(Kp, W4 * W4 * NB)[:K]
+
+
+@functools.lru_cache(maxsize=32)
+def _make_desc_hist(WR: int):
+    @jax.custom_batching.custom_vmap
+    def desc_hist(a, b, s, y, x, radius, hw, cos_o, sin_o, dirv):
+        S, H, W = a.shape
+        K = s.shape[0]
+        sc, r0, c0 = _starts(s, y, x, S, H, W, WR)
+        ap, bp = _pad_plane(a, WR), _pad_plane(b, WR)
+        on_tpu = jax.default_backend() == "tpu"
+        if not on_tpu and not INTERPRET:
+            return _desc_hist_xla(ap, bp, sc, r0, c0, y, x, radius, hw,
+                                  cos_o, sin_o, dirv, H, W, WR)
+        nblk = -(-K // _BKD)
+        padn = nblk * _BKD - K
+        if padn:
+            sc, r0, c0 = (jnp.pad(v, (0, padn)) for v in (sc, r0, c0))
+            y, x = (jnp.pad(v, (0, padn)) for v in (y, x))
+            radius, hw = (jnp.pad(v, (0, padn)) for v in (radius, hw))
+            cos_o, sin_o = (jnp.pad(v, (0, padn)) for v in (cos_o, sin_o))
+            dirv = jnp.pad(dirv, (0, padn))
+        rws = jnp.arange(WR, dtype=jnp.float32)[None, :]
+        r0f = r0.astype(jnp.float32)[:, None]
+        rep = lambda v: jnp.broadcast_to(v.astype(jnp.float32)[:, None],
+                                         (v.shape[0], WR))
+        z = jnp.zeros_like(rep(radius))
+        meta = jnp.stack([
+            r0f + rws - rep(y), rep(c0.astype(jnp.float32) - x),
+            rep(radius), rep(hw), r0f + rws, rep(c0),
+            rep(cos_o), rep(sin_o), rep(dirv),
+            z, z, z, z, z, z, z,
+        ], axis=-1).reshape(nblk * _BKD * WR, 16)
+        with jax.enable_x64(False):
+            hist = _desc_hist_pallas(S, ap.shape[1], ap.shape[2], K, WR, H, W,
+                                     interpret=not on_tpu)(sc, r0, c0, meta, ap, bp)
+        return hist[:K]
+
+    @desc_hist.def_vmap
+    def _desc_hist_vmap(axis_size, in_batched, a, b, s, y, x, radius, hw,
+                        cos_o, sin_o, dirv):
+        B = axis_size
+        vb = list(in_batched)
+        args = [a, b, s, y, x, radius, hw, cos_o, sin_o, dirv]
+        bcast = lambda v, was: v if was else jnp.broadcast_to(v[None], (B,) + v.shape)
+        a, b, s, y, x, radius, hw, cos_o, sin_o, dirv = (
+            bcast(v, w) for v, w in zip(args, vb)
+        )
+        _, S, H, W = a.shape
+        K = s.shape[1]
+        s_flat = (s.astype(jnp.int32)
+                  + (jnp.arange(B, dtype=jnp.int32) * S)[:, None]).reshape(-1)
+        hist = desc_hist(
+            a.reshape(B * S, H, W), b.reshape(B * S, H, W), s_flat,
+            y.reshape(-1), x.reshape(-1), radius.reshape(-1), hw.reshape(-1),
+            cos_o.reshape(-1), sin_o.reshape(-1), dirv.reshape(-1),
+        )
+        return hist.reshape(B, K, DESC_W4 * DESC_W4 * DESC_NB), True
+
+    return desc_hist
+
+
+def descriptor_histogram(mag, ort, s, y, x, radius, hw, dirv, WR: int):
+    """Per-keypoint raw SIFT histogram [K, 128] (pre-RootSIFT), fused
+    window-DMA + rotated trilinear soft-binning kernel.  radius: [K] rounded
+    circular window radius; hw: [K] spatial bin width (hist_w); dirv: [K]
+    keypoint direction.  Batch with jax.vmap."""
+    assert WR % 8 == 0, WR
+    return _make_desc_hist(WR)(
+        mag, ort, s, y, x,
+        radius.astype(jnp.float32), hw.astype(jnp.float32),
+        jnp.cos(dirv).astype(jnp.float32), jnp.sin(dirv).astype(jnp.float32),
+        dirv.astype(jnp.float32),
+    )
+
+
+def orientation_histogram(mag: jnp.ndarray, ort: jnp.ndarray, s: jnp.ndarray,
+                          y: jnp.ndarray, x: jnp.ndarray, rad: jnp.ndarray,
+                          invden: jnp.ndarray, WR: int) -> jnp.ndarray:
+    """Per-keypoint 36-bin orientation histogram, fused window-DMA +
+    histogram kernel.  mag/ort: [S, H, W] planes; s/y/x: [K] keypoint
+    location; rad: [K] integral circular-window radius (already rounded);
+    invden: [K] = 1/(2 sigma^2) gaussian weight factor.  Returns [K, 36].
+    Batch with jax.vmap (folds into one kernel call)."""
+    assert WR % 8 == 0, WR
+    return _make_ori_hist(WR)(mag, ort, s, y, x, rad, invden)

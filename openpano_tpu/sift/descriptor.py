@@ -25,15 +25,12 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
-import jax
 import jax.numpy as jnp
 
 from ..config import Config
-from ..ops.windows import gather_window_slabs, slab_rows, SLAB_LANES
-from .orientation import OrientedKeypoints, _round_half_away, max_scale_factor, slab_offsets
+from ..ops.windows import slab_rows
+from .orientation import OrientedKeypoints, _round_half_away, max_scale_factor
 from .pyramid import Octave
-
-_CHUNK = 256  # keypoints per descriptor matmul chunk
 
 
 class Features(NamedTuple):
@@ -48,81 +45,24 @@ def desc_window_radius(cfg: Config) -> int:
     return int(round((0.5 ** 0.5) * hist_w * (cfg.DESC_HIST_WIDTH + 1)))
 
 
-def _hat(dist):
-    return jnp.maximum(0.0, 1.0 - jnp.abs(dist))
-
-
 def compute_descriptors(kp: OrientedKeypoints, octave: Octave, cfg: Config) -> jnp.ndarray:
-    """Returns [K, 128] descriptors for oriented keypoints."""
-    K = kp.x.shape[0]
+    """Returns [K, 128] descriptors for oriented keypoints.
+
+    The rotated trilinear histogram runs as one fused window-DMA +
+    soft-binning kernel (ops/windows.descriptor_histogram); only the tiny
+    [K, 128] RootSIFT normalization happens here."""
     W4 = cfg.DESC_HIST_WIDTH          # 4
     NB = cfg.DESC_HIST_BIN_NUM        # 8
+    from ..ops.windows import DESC_NB, DESC_W4, descriptor_histogram
+    assert (W4, NB) == (DESC_W4, DESC_NB), (W4, NB)
     R = desc_window_radius(cfg)
     WR = slab_rows(R)
-    _, H, Wimg = octave.mag.shape
 
-    mag, ort = gather_window_slabs(octave.mag, octave.ort, kp.s, kp.y, kp.x, WR)
-    dy, dx = slab_offsets(kp.y, kp.x, H, Wimg, WR)
-    P = WR * SLAB_LANES
-
-    def chunk_desc(sl):
-        cmag, cort, cdy, cdx, cy, cx, csf, cdir = sl
-        r2 = (cdy * cdy + cdx * cdx).astype(jnp.float32)          # [C,WR,128]
-        hist_w = csf * cfg.DESC_HIST_SCALE_FACTOR                 # [C]
-        radius = _round_half_away((0.5 ** 0.5) * hist_w * (W4 + 1))[:, None, None]
-        newy = cy[:, None, None] + cdy
-        newx = cx[:, None, None] + cdx
-        inside = (
-            (jnp.abs(cdy) <= radius) & (jnp.abs(cdx) <= radius)
-            & (r2 <= radius * radius)
-            & (newx >= 1) & (newx <= Wimg - 2)
-            & (newy >= 1) & (newy <= H - 2)
-        )
-        cos_o = jnp.cos(cdir)[:, None, None]
-        sin_o = jnp.sin(cdir)[:, None, None]
-        fx = cdx.astype(jnp.float32)
-        fy = cdy.astype(jnp.float32)
-        hw = hist_w[:, None, None]
-        x_rot = (fx * cos_o + fy * sin_o) / hw
-        y_rot = (-fx * sin_o + fy * cos_o) / hw
-        ybin = y_rot + W4 / 2 - 0.5
-        xbin = x_rot + W4 / 2 - 0.5
-        inside &= (ybin >= -1) & (ybin <= W4 - 1) & (xbin >= -1) & (xbin <= W4 - 1)
-
-        weight = jnp.exp(-(x_rot ** 2 + y_rot ** 2) / (2.0 * W4 * W4)) * cmag
-        weight = jnp.where(inside, weight, 0.0)
-
-        now_ort = cort - cdir[:, None, None]
-        now_ort = jnp.where(now_ort < 0, now_ort + 2 * jnp.pi, now_ort)
-        now_ort = jnp.where(now_ort > 2 * jnp.pi, now_ort - 2 * jnp.pi, now_ort)
-        hbin = now_ort * (NB / (2.0 * jnp.pi))  # [C,WR,128] in [0, NB]
-
-        C = weight.shape[0]
-        flat = lambda a: a.reshape(C, P)
-        # separable triangle kernels == trilinear soft binning (sift.cc:48-67)
-        by = jnp.arange(W4, dtype=jnp.float32)
-        A = _hat(flat(ybin)[:, :, None] - by)                   # [C,P,4]
-        B = _hat(flat(xbin)[:, :, None] - by)                   # [C,P,4]
-        bo = jnp.arange(NB, dtype=jnp.float32)
-        do_ = jnp.abs(flat(hbin)[:, :, None] - bo)
-        C_ = _hat(jnp.minimum(do_, NB - do_))                   # [C,P,8] circular
-        WAB = (flat(weight)[:, :, None, None] * A[:, :, :, None] * B[:, :, None, :]).reshape(
-            C, P, W4 * W4
-        )                                                       # [C,P,16]
-        hist = jnp.einsum("cpq,cpo->cqo", WAB, C_)              # [C,16,8] (MXU)
-        return hist.reshape(C, W4 * W4 * NB)
-
-    nchunk = max(1, -(-K // _CHUNK))
-    Kp = nchunk * _CHUNK
-    def pad(a):
-        padw = [(0, Kp - K)] + [(0, 0)] * (a.ndim - 1)
-        return jnp.pad(a, padw).reshape((nchunk, _CHUNK) + a.shape[1:])
-    hists = jax.lax.map(
-        chunk_desc,
-        (pad(mag), pad(ort), pad(jnp.broadcast_to(dy, mag.shape)),
-         pad(jnp.broadcast_to(dx, mag.shape)),
-         pad(kp.y), pad(kp.x), pad(kp.scale_factor), pad(kp.dir)),
-    ).reshape(Kp, -1)[:K]
+    hist_w = kp.scale_factor * cfg.DESC_HIST_SCALE_FACTOR
+    radius = _round_half_away((0.5 ** 0.5) * hist_w * (W4 + 1))
+    hists = descriptor_histogram(
+        octave.mag, octave.ort, kp.s, kp.y, kp.x, radius, hist_w, kp.dir, WR
+    )
 
     # RootSIFT (sift.cc:37-45)
     ssum = jnp.sum(hists, axis=1, keepdims=True)

@@ -26,7 +26,9 @@ import jax.numpy as jnp
 
 from ..config import Config
 from ..ops.compact import compact_indices
-from ..ops.windows import gather_window_slabs, slab_rows, window_starts, SLAB_LANES
+from ..ops.windows import (
+    orientation_histogram, slab_rows, window_starts, SLAB_LANES,
+)
 from .extrema import RawKeypoints
 from .pyramid import Octave
 
@@ -67,42 +69,26 @@ def slab_offsets(y, x, H: int, W: int, WR: int):
     return dy, dx
 
 
-def _hist_by_bins(wgt: jnp.ndarray, bins: jnp.ndarray, nbins: int) -> jnp.ndarray:
-    """hist[k, b] = sum of wgt where bins == b; fused masked reductions."""
-    cols = [
-        jnp.sum(jnp.where(bins == b, wgt, 0.0), axis=(1, 2)) for b in range(nbins)
-    ]
-    return jnp.stack(cols, axis=-1)
-
-
 def assign_orientation(kp: RawKeypoints, octave: Octave, cfg: Config,
                        cap: int | None = None) -> OrientedKeypoints:
     nbins = cfg.ORI_HIST_BIN_NUM
+    from ..ops.windows import ORI_NBINS
+    assert nbins == ORI_NBINS, (nbins, ORI_NBINS)
     cap = cfg.MAX_DESC_PER_OCTAVE if cap is None else cap
     R = ori_window_radius(cfg)
     WR = slab_rows(R)
 
     _, H, W = octave.mag.shape
-    mag, ort = gather_window_slabs(octave.mag, octave.ort, kp.s, kp.y, kp.x, WR)
-    dy, dx = slab_offsets(kp.y, kp.x, H, W, WR)
-    r2 = (dy * dy + dx * dx).astype(jnp.float32)                    # [K,WR,128]
-
-    # circular window of per-keypoint radius (orientation.cc:47-58)
-    rad = _round_half_away(kp.scale_factor * cfg.ORI_RADIUS)[:, None, None]
-    newy = kp.y[:, None, None] + dy
-    newx = kp.x[:, None, None] + dx
-    inside = (
-        (dy >= -rad) & (dy <= rad - 1) & (dx >= -rad) & (dx <= rad - 1)
-        & (r2 <= rad * rad)
-        & (newx >= 1) & (newx <= W - 2) & (newy >= 1) & (newy <= H - 2)
-    )
+    # circular window of per-keypoint radius (orientation.cc:47-58), fused
+    # window-DMA + 36-bin histogram kernel (ops/windows.py): the [K,WR,256]
+    # mag/ort slabs never leave VMEM
+    rad = _round_half_away(kp.scale_factor * cfg.ORI_RADIUS)
     sigma = kp.scale_factor * cfg.ORI_WINDOW_FACTOR
-    exp_denom = (2.0 * sigma * sigma)[:, None, None]
-    wgt = jnp.where(inside, jnp.exp(-r2 / exp_denom) * mag, 0.0)
-
-    # hard binning: bin = round(nbins * ort / 2pi), nbins -> 0 (orientation.cc:59-62)
-    bins = _round_half_away(nbins * ort / (2.0 * jnp.pi)).astype(jnp.int32) % nbins
-    hist = _hist_by_bins(wgt, bins, nbins)                          # [K, nbins]
+    invden = 1.0 / (2.0 * sigma * sigma)
+    hist = orientation_histogram(
+        octave.mag, octave.ort, kp.s, kp.y, kp.x,
+        rad.astype(jnp.float32), invden.astype(jnp.float32), WR,
+    )                                                               # [K, nbins]
 
     for _ in range(cfg.ORI_HIST_SMOOTH_COUNT):
         hist = hist * 0.5 + (jnp.roll(hist, 1, axis=1) + jnp.roll(hist, -1, axis=1)) * 0.25

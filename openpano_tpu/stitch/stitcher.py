@@ -21,7 +21,7 @@ from ..config import Config
 from ..camera.camera import estimate_focal, intrinsic
 from ..camera.estimator import estimate_cameras
 from ..geometry.ransac import estimate_transform_batch
-from ..match.matcher import match_all_pairs, match_pair, pair_indices, MatchResult
+from ..match.matcher import match_all_pairs, match_ring_pairs, pair_indices
 from ..utils.timer import total_timer
 from .render import plan_render, blend
 from .stitcherbase import compute_features
@@ -40,21 +40,22 @@ class PairwiseGraph:
         self.from_pos = np.zeros((n, n, M, 2))
         self.valid = np.zeros((n, n, M), bool)
 
-    def fill_pair(self, i: int, j: int, info):
-        """info: per-pair MatchInfo pytree slice (numpy) with homo j->i."""
-        if float(info.confidence) <= 0:
+    def fill_pair(self, i: int, j: int, confidence: float, homo: np.ndarray,
+                  to_pos: np.ndarray, from_pos: np.ndarray, valid: np.ndarray):
+        """Per-pair match data (numpy) with homo j->i."""
+        if float(confidence) <= 0:
             return False
-        H = np.asarray(info.homo, np.float64)
+        H = np.asarray(homo, np.float64)
         Hinv = np.linalg.inv(H)
         Hinv /= Hinv[2, 2]                       # stitcher.cc:79-80
-        self.conf[i, j] = self.conf[j, i] = float(info.confidence)
+        self.conf[i, j] = self.conf[j, i] = float(confidence)
         self.homo[i, j] = H
         self.homo[j, i] = Hinv
-        self.to_pos[i, j] = info.to_pos
-        self.from_pos[i, j] = info.from_pos
-        self.to_pos[j, i] = info.from_pos
-        self.from_pos[j, i] = info.to_pos
-        self.valid[i, j] = self.valid[j, i] = info.valid
+        self.to_pos[i, j] = to_pos
+        self.from_pos[i, j] = from_pos
+        self.to_pos[j, i] = from_pos
+        self.from_pos[j, i] = to_pos
+        self.valid[i, j] = self.valid[j, i] = valid
         return True
 
 
@@ -68,11 +69,7 @@ def build_pairwise_graph(feats, whs, cfg: Config, key, ordered: bool,
         # to fail (linear_pairwise_match, stitcher.cc:116-136)
         ii = list(range(n))
         jj = [(i + 1) % n for i in ii]
-        P = len(ii)
-        res = jax.vmap(
-            lambda a, b: match_pair(feats.desc[a], feats.valid[a],
-                                    feats.desc[b], feats.valid[b], cfg)
-        )(jnp.asarray(ii), jnp.asarray(jj))
+        res = match_ring_pairs(feats.desc, feats.valid, cfg)
     else:
         ii, jj = pair_indices(n)
         res = match_all_pairs(feats.desc, feats.valid, cfg)
@@ -81,15 +78,43 @@ def build_pairwise_graph(feats, whs, cfg: Config, key, ordered: bool,
         res, feats.pos, feats.valid, whs,
         jnp.asarray(ii), jnp.asarray(jj), key, cfg, affine,
     )
-    infos = jax.tree_util.tree_map(np.asarray, infos)
+    # downloads over a remote-attached device pay ~40 ms fixed + ~20 ms/MB:
+    # pack the pytree into two buffers (small f64 geometry + big f32 point
+    # data — coords are exactly representable in f32) instead of per-leaf
+    # transfers
+    small, big = _pack_infos(infos)
+    small = np.asarray(small)
+    big = np.asarray(big)
+    P, M = infos.valid.shape
+    homo = small[:, :9].reshape(P, 3, 3)
+    conf = small[:, 9]
+    to_pos = big[:, : 2 * M].reshape(P, M, 2).astype(np.float64)
+    from_pos = big[:, 2 * M : 4 * M].reshape(P, M, 2).astype(np.float64)
+    pvalid = big[:, 4 * M :] > 0.5
 
-    graph = PairwiseGraph(n, res.idx.shape[1])
+    graph = PairwiseGraph(n, M)
     for p, (i, j) in enumerate(zip(ii, jj)):
-        info_p = jax.tree_util.tree_map(lambda a: a[p], infos)
-        succ = graph.fill_pair(i, j, info_p)
+        succ = graph.fill_pair(
+            i, j, conf[p], homo[p], to_pos[p], from_pos[p], pvalid[p]
+        )
         if ordered and not succ and i != n - 1:
             raise RuntimeError(f"Image {i} and {j} don't match")
     return graph
+
+
+@jax.jit
+def _pack_infos(infos):
+    P, M = infos.valid.shape
+    small = jnp.concatenate([
+        infos.homo.reshape(P, 9),
+        infos.confidence.reshape(P, 1).astype(infos.homo.dtype),
+    ], axis=1)
+    big = jnp.concatenate([
+        infos.to_pos.reshape(P, 2 * M).astype(jnp.float32),
+        infos.from_pos.reshape(P, 2 * M).astype(jnp.float32),
+        infos.valid.astype(jnp.float32),
+    ], axis=1)
+    return small, big
 
 
 def stitch(imgs: np.ndarray, cfg: Config, key=None, output: str = "f32"):
@@ -140,8 +165,8 @@ def stitch(imgs: np.ndarray, cfg: Config, key=None, output: str = "f32"):
         plan = plan_render(homos, whs_np, mid, proj, cfg.MAX_OUTPUT_SIZE)
         canvas = blend(imgs, plan, ordered=cfg.ORDERED_INPUT, multiband=cfg.MULTIBAND)
         if output == "u8":
-            u8, valid = _f32_to_u8(canvas)
-            result = (np.asarray(u8), np.asarray(valid))
+            rgba = np.asarray(_f32_to_u8_rgba(canvas))   # ONE device->host copy
+            result = (rgba[..., :3], rgba[..., 3] > 0)
         else:
             result = np.asarray(canvas)
     return result
@@ -157,6 +182,16 @@ def _f32_to_u8(canvas):
     valid = canvas[..., 0] >= 0
     u8 = jnp.round(jnp.clip(canvas, 0.0, 1.0) * 255.0).astype(jnp.uint8)
     return jnp.where(valid[..., None], u8, 255), valid
+
+
+@jax.jit
+def _f32_to_u8_rgba(canvas):
+    """RGB + validity packed into one u8 buffer: a single device->host
+    transfer for the write path (cvt_f2uc analog, imgproc.cc:328-337)."""
+    valid = canvas[..., 0] >= 0
+    u8 = jnp.round(jnp.clip(canvas, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+    rgb = jnp.where(valid[..., None], u8, 255)
+    return jnp.concatenate([rgb, valid[..., None].astype(jnp.uint8)], axis=-1)
 
 
 def _build_linear_simple(graph: PairwiseGraph, n: int, mid: int,

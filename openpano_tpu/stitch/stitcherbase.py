@@ -9,6 +9,8 @@ data-parallel axis that shards over a device mesh).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -24,6 +26,15 @@ from ..sift.detector import detect_and_describe_batch
 _FEATURE_BATCH = 8
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "wh_", "ww_"))
+def _feature_chunk(batch, whs, cfg: Config, wh_: int, ww_: int) -> Features:
+    """One fused device call per chunk: resize-to-working-size + full SIFT.
+    A single dispatch matters: eager per-op execution pays a host<->device
+    round trip per op, which dominates on a remote-attached TPU."""
+    work = jax.vmap(lambda im: resize(im, wh_, ww_))(batch)
+    return detect_and_describe_batch(work, whs, cfg)
+
+
 def compute_features(imgs: jnp.ndarray, cfg: Config) -> Features:
     """imgs: [N, H, W, 3] float32 in [0,1] (uniform shape).  Returns batched
     Features with half-shifted original-image coordinates.  Large image sets
@@ -35,8 +46,7 @@ def compute_features(imgs: jnp.ndarray, cfg: Config) -> Features:
 
     B = _FEATURE_BATCH
     if n <= B:
-        work = jax.vmap(lambda im: resize(im, wh_, ww_))(imgs)
-        feats = detect_and_describe_batch(work, whs, cfg)
+        feats = _feature_chunk(imgs, whs, cfg, wh_, ww_)
     else:
         chunks = []
         for lo in range(0, n, B):
@@ -45,8 +55,7 @@ def compute_features(imgs: jnp.ndarray, cfg: Config) -> Features:
                 pad = B - batch.shape[0]
                 rep = jnp.broadcast_to(batch[:1], (pad,) + batch.shape[1:])
                 batch = jnp.concatenate([batch, rep], axis=0)
-            work = jax.vmap(lambda im: resize(im, wh_, ww_))(batch)
-            chunks.append(detect_and_describe_batch(work, whs[:B], cfg))
+            chunks.append(_feature_chunk(batch, whs[:B], cfg, wh_, ww_))
         feats = jax.tree_util.tree_map(
             lambda *c: jnp.concatenate(c, axis=0)[:n], *chunks
         )
