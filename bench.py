@@ -26,6 +26,9 @@ def main():
     full = os.environ.get("BENCH_FULL", "0") == "1"
     n = 38 if full else 13
     out_w, out_h = (1300, 867) if full else (640, 480)
+    # full: a 336-degree sweep with CMU0-like dense overlap (each view keeps
+    # ~1.5x source detail; wider sweeps stretch the texture featureless)
+    hfov, overlap = (40, 0.8) if full else (30, 0.5)
 
     cfg = Config(
         ESTIMATE_CAMERA=True, ORDERED_INPUT=False,
@@ -33,8 +36,8 @@ def main():
     )
     scene = photo_scene()
     views, _ = render_views(
-        scene, n, out_w=out_w, out_h=out_h, hfov_deg=30,
-        overlap=0.5, jitter=0.05, seed=5,
+        scene, n, out_w=out_w, out_h=out_h, hfov_deg=hfov,
+        overlap=overlap, jitter=0.05, seed=5,
     )
     # shuffle: the benchmark is the unordered all-pairs path
     rng = np.random.default_rng(0)

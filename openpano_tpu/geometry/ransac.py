@@ -80,24 +80,19 @@ def estimate_transform(
     ns = (6 if affine else 8) // 2 + 4  # transform_estimate.cc:53
     nh = cfg.RANSAC_ITERATIONS
 
-    # distinct uniform sampling of valid match rows per hypothesis:
-    # Gumbel-top-k over the validity mask (replaces the rejection loop at
-    # transform_estimate.cc:67-77 with a deterministic keyed draw).
-    # top-k as ns argmax passes — lax.top_k lowers to a sort on TPU, ~25x
-    # slower than ns reductions at these widths.
-    g = jax.random.gumbel(key, (nh, M))
-    g = jnp.where(mvalid[None, :], g, -jnp.inf)
-
-    def pick(carry, _):
-        gg = carry
-        i = jnp.argmax(gg, axis=-1)                   # [nh]
-        gg = jnp.where(
-            jax.nn.one_hot(i, M, dtype=bool), -jnp.inf, gg
-        )
-        return gg, i
-
-    _, sel = jax.lax.scan(pick, g, None, length=ns)
-    sel = jnp.moveaxis(sel, 0, -1)                    # [nh, ns]
+    # uniform sampling of valid match rows per hypothesis.  Matches are
+    # compacted to the front, so a draw is just an integer in [0, n_match).
+    # The reference resamples until the ns draws are distinct
+    # (transform_estimate.cc:67-77); here rare within-hypothesis duplicates
+    # are kept — they make the DLT singular and health() rejects that
+    # hypothesis, costing a negligible fraction of the 1500 iterations.
+    # (A Gumbel-top-k distinct sampler costs ~100x more PRNG + ns argmax
+    # passes over [nh, M] — it dominated the whole RANSAC stage.)
+    u = jax.random.uniform(key, (nh, ns))
+    hi = jnp.maximum(n_match, 1).astype(u.dtype)
+    sel = jnp.minimum(
+        (u * hi).astype(jnp.int32), jnp.maximum(n_match - 1, 0)
+    )                                                 # [nh, ns]
 
     w_sel = jnp.ones((nh, ns), dtype=p1.dtype)
     H_hyp = normalized_transform(p1[sel], p2[sel], w_sel, affine)  # [nh,3,3]

@@ -215,10 +215,11 @@ ORI_NBINS = 36  # ORI_HIST_BIN_NUM (config.hh:74)
 
 
 def _ori_hist_math(mag, ort, dy, dx, plane_y, plane_x, rad, invden,
-                   H: int, W: int, nbins: int):
+                   H, W, nbins: int):
     """Shared per-element math (kernel and XLA fallback).  All inputs
-    broadcast to [..., WR, LANES]; rad/invden broadcast per keypoint.
-    Semantics mirror orientation.cc:47-66 via sift/orientation.py."""
+    broadcast to [..., WR, LANES]; rad/invden/H/W broadcast per keypoint
+    (H/W may be per-keypoint octave dims when octaves share one stacked
+    plane).  Semantics mirror orientation.cc:47-66 via sift/orientation.py."""
     r2 = dy * dy + dx * dx
     inside = (
         (dy >= -rad) & (dy <= rad - 1) & (dx >= -rad) & (dx <= rad - 1)
@@ -271,12 +272,13 @@ def _ori_hist_pallas(S: int, Hp: int, Wp: int, K: int, WR: int,
         rad, invden = m[:, 2:3], m[:, 3:4]
         py = m[:, 4:5]                        # plane row r0 + row
         c0f = m[:, 5:6]
+        hb, wb = m[:, 6:7], m[:, 7:8]         # per-keypoint octave dims
 
         shp = (BKWR, SLAB_LANES)
         ic = jax.lax.broadcasted_iota(jnp.int32, shp, 1).astype(jnp.float32)
         wgt, bins = _ori_hist_math(
             maga[...], orta[...], dy, ic + dxb,
-            py, ic + c0f, rad, invden, H, W, ORI_NBINS,
+            py, ic + c0f, rad, invden, hb, wb, ORI_NBINS,
         )
         rows = jnp.concatenate([
             jnp.sum(jnp.where(bins == b, wgt, 0.0), axis=1, keepdims=True)
@@ -317,7 +319,7 @@ def _ori_hist_pallas(S: int, Hp: int, Wp: int, K: int, WR: int,
     )
 
 
-def _ori_hist_xla(ap, bp, sc, r0, c0, y, x, rad, invden, H, W, WR):
+def _ori_hist_xla(ap, bp, sc, r0, c0, y, x, rad, invden, hb, wb_, WR):
     """Fallback: identical semantics via element gather on padded planes."""
     wa, wb = _win2_xla(ap, bp, sc, r0, c0, WR)
     ir = jnp.arange(WR, dtype=jnp.float32)[None, :, None]
@@ -328,7 +330,9 @@ def _ori_hist_xla(ap, bp, sc, r0, c0, y, x, rad, invden, H, W, WR):
     xf = x.astype(jnp.float32)[:, None, None]
     wgt, bins = _ori_hist_math(
         wa, wb, ir + r0f - yf, ic + c0f - xf, ir + r0f, ic + c0f,
-        rad[:, None, None], invden[:, None, None], H, W, ORI_NBINS,
+        rad[:, None, None], invden[:, None, None],
+        hb.astype(jnp.float32)[:, None, None],
+        wb_.astype(jnp.float32)[:, None, None], ORI_NBINS,
     )
     cols = [
         jnp.sum(jnp.where(bins == b, wgt, 0.0), axis=(1, 2))
@@ -340,22 +344,24 @@ def _ori_hist_xla(ap, bp, sc, r0, c0, y, x, rad, invden, H, W, WR):
 @functools.lru_cache(maxsize=32)
 def _make_ori_hist(WR: int):
     @jax.custom_batching.custom_vmap
-    def ori_hist(a, b, s, y, x, rad, invden):
+    def ori_hist(a, b, s, y, x, rad, invden, hb, wb):
         S, H, W = a.shape
         K = s.shape[0]
         sc, r0, c0 = _starts(s, y, x, S, H, W, WR)
         ap, bp = _pad_plane(a, WR), _pad_plane(b, WR)
         on_tpu = jax.default_backend() == "tpu"
         if not on_tpu and not INTERPRET:
-            return _ori_hist_xla(ap, bp, sc, r0, c0, y, x, rad, invden, H, W, WR)
+            return _ori_hist_xla(ap, bp, sc, r0, c0, y, x, rad, invden,
+                                 hb, wb, WR)
         nblk = -(-K // _BK)
         padn = nblk * _BK - K
         if padn:
             sc, r0, c0 = (jnp.pad(v, (0, padn)) for v in (sc, r0, c0))
             y, x = (jnp.pad(v, (0, padn)) for v in (y, x))
             rad, invden = (jnp.pad(v, (0, padn)) for v in (rad, invden))
+            hb, wb = (jnp.pad(v, (0, padn)) for v in (hb, wb))
         # per-slab-row metadata [Kp*WR, 8]: cols 0=dy(row), 1=c0-x, 2=rad,
-        # 3=invden, 4=plane row (r0+row), 5=c0
+        # 3=invden, 4=plane row (r0+row), 5=c0, 6/7=per-kp octave h/w
         rws = jnp.arange(WR, dtype=jnp.float32)[None, :]        # [1, WR]
         r0f = r0.astype(jnp.float32)[:, None]
         rep = lambda v: jnp.broadcast_to(v.astype(jnp.float32)[:, None],
@@ -363,7 +369,7 @@ def _make_ori_hist(WR: int):
         meta = jnp.stack([
             r0f + rws - rep(y), rep(c0.astype(jnp.float32) - x),
             rep(rad), rep(invden), r0f + rws, rep(c0),
-            jnp.zeros_like(rep(rad)), jnp.zeros_like(rep(rad)),
+            rep(hb), rep(wb),
         ], axis=-1).reshape(nblk * _BK * WR, 8)
         with jax.enable_x64(False):
             hist = _ori_hist_pallas(S, ap.shape[1], ap.shape[2], K, WR, H, W,
@@ -371,13 +377,14 @@ def _make_ori_hist(WR: int):
         return hist[:K]
 
     @ori_hist.def_vmap
-    def _ori_hist_vmap(axis_size, in_batched, a, b, s, y, x, rad, invden):
-        ab, bb, sb, yb, xb, rb, ib = in_batched
+    def _ori_hist_vmap(axis_size, in_batched, a, b, s, y, x, rad, invden,
+                       hb, wb):
         B = axis_size
+        args = [a, b, s, y, x, rad, invden, hb, wb]
         bcast = lambda v, was: v if was else jnp.broadcast_to(v[None], (B,) + v.shape)
-        a, b = bcast(a, ab), bcast(b, bb)
-        s, y, x = bcast(s, sb), bcast(y, yb), bcast(x, xb)
-        rad, invden = bcast(rad, rb), bcast(invden, ib)
+        a, b, s, y, x, rad, invden, hb, wb = (
+            bcast(v, w) for v, w in zip(args, in_batched)
+        )
         _, S, H, W = a.shape
         K = s.shape[1]
         s_flat = (s.astype(jnp.int32)
@@ -386,6 +393,7 @@ def _make_ori_hist(WR: int):
             a.reshape(B * S, H, W), b.reshape(B * S, H, W),
             s_flat, y.reshape(-1), x.reshape(-1),
             rad.reshape(-1), invden.reshape(-1),
+            hb.reshape(-1), wb.reshape(-1),
         )
         return hist.reshape(B, K, ORI_NBINS), True
 
@@ -405,7 +413,7 @@ DESC_NB = 8    # DESC_HIST_BIN_NUM (config.hh:78)
 
 
 def _desc_elem_math(mag, ort, fy, fx, plane_y, plane_x, radius, hw,
-                    cos_o, sin_o, dirv, H: int, W: int):
+                    cos_o, sin_o, dirv, H, W):
     """Per-element weight + bin coordinates (sift.cc:99-144 semantics).
     All inputs broadcast against the slab shape."""
     W4 = DESC_W4
@@ -467,12 +475,13 @@ def _desc_hist_pallas(S: int, Hp: int, Wp: int, K: int, WR: int,
         radius, hw = m[:, 2:3], m[:, 3:4]
         py, c0f = m[:, 4:5], m[:, 5:6]
         cos_o, sin_o, dirv = m[:, 6:7], m[:, 7:8], m[:, 8:9]
+        hb, wb = m[:, 9:10], m[:, 10:11]      # per-keypoint octave dims
 
         shp = (BKWR, SLAB_LANES)
         ic = jax.lax.broadcasted_iota(jnp.int32, shp, 1).astype(jnp.float32)
         wgt, ybin, xbin, hbin = _desc_elem_math(
             maga[...], orta[...], dy, ic + dxb, py, ic + c0f,
-            radius, hw, cos_o, sin_o, dirv, H, W,
+            radius, hw, cos_o, sin_o, dirv, hb, wb,
         )
         hat = lambda d: jnp.maximum(0.0, 1.0 - jnp.abs(d))
 
@@ -537,7 +546,7 @@ def _desc_hist_pallas(S: int, Hp: int, Wp: int, K: int, WR: int,
 
 
 def _desc_hist_xla(ap, bp, sc, r0, c0, y, x, radius, hw, cos_o, sin_o, dirv,
-                   H, W, WR):
+                   hbb, wbb, WR):
     """Fallback with identical semantics; chunked to bound the [C,P,16]
     soft-binning intermediate (the pre-kernel implementation)."""
     NB, W4 = DESC_NB, DESC_W4
@@ -551,7 +560,7 @@ def _desc_hist_xla(ap, bp, sc, r0, c0, y, x, radius, hw, cos_o, sin_o, dirv,
     ic = jnp.arange(SLAB_LANES, dtype=jnp.float32)[None, None, :]
 
     def one(args):
-        sc_, r0_, c0_, y_, x_, rad_, hw_, co_, so_, dv_ = args
+        sc_, r0_, c0_, y_, x_, rad_, hw_, co_, so_, dv_, hb_, wb_ = args
         wa, wb = _win2_xla(ap, bp, sc_, r0_, c0_, WR)
         r0f = r0_.astype(jnp.float32)[:, None, None]
         c0f = c0_.astype(jnp.float32)[:, None, None]
@@ -560,7 +569,9 @@ def _desc_hist_xla(ap, bp, sc, r0, c0, y, x, radius, hw, cos_o, sin_o, dirv,
         wgt, ybin, xbin, hbin = _desc_elem_math(
             wa, wb, fy, fx, ir + r0f, ic + c0f,
             rad_[:, None, None], hw_[:, None, None],
-            co_[:, None, None], so_[:, None, None], dv_[:, None, None], H, W,
+            co_[:, None, None], so_[:, None, None], dv_[:, None, None],
+            hb_.astype(jnp.float32)[:, None, None],
+            wb_.astype(jnp.float32)[:, None, None],
         )
         P = WR * SLAB_LANES
         flat = lambda a: a.reshape(CH, P)
@@ -580,6 +591,7 @@ def _desc_hist_xla(ap, bp, sc, r0, c0, y, x, radius, hw, cos_o, sin_o, dirv,
     hists = jax.lax.map(one, (
         pad(sc), pad(r0), pad(c0), pad(y), pad(x),
         pad(radius), pad(hw), pad(cos_o), pad(sin_o), pad(dirv),
+        pad(hbb), pad(wbb),
     ))
     return hists.reshape(Kp, W4 * W4 * NB)[:K]
 
@@ -587,7 +599,7 @@ def _desc_hist_xla(ap, bp, sc, r0, c0, y, x, radius, hw, cos_o, sin_o, dirv,
 @functools.lru_cache(maxsize=32)
 def _make_desc_hist(WR: int):
     @jax.custom_batching.custom_vmap
-    def desc_hist(a, b, s, y, x, radius, hw, cos_o, sin_o, dirv):
+    def desc_hist(a, b, s, y, x, radius, hw, cos_o, sin_o, dirv, hb, wb):
         S, H, W = a.shape
         K = s.shape[0]
         sc, r0, c0 = _starts(s, y, x, S, H, W, WR)
@@ -595,7 +607,7 @@ def _make_desc_hist(WR: int):
         on_tpu = jax.default_backend() == "tpu"
         if not on_tpu and not INTERPRET:
             return _desc_hist_xla(ap, bp, sc, r0, c0, y, x, radius, hw,
-                                  cos_o, sin_o, dirv, H, W, WR)
+                                  cos_o, sin_o, dirv, hb, wb, WR)
         nblk = -(-K // _BKD)
         padn = nblk * _BKD - K
         if padn:
@@ -604,6 +616,7 @@ def _make_desc_hist(WR: int):
             radius, hw = (jnp.pad(v, (0, padn)) for v in (radius, hw))
             cos_o, sin_o = (jnp.pad(v, (0, padn)) for v in (cos_o, sin_o))
             dirv = jnp.pad(dirv, (0, padn))
+            hb, wb = (jnp.pad(v, (0, padn)) for v in (hb, wb))
         rws = jnp.arange(WR, dtype=jnp.float32)[None, :]
         r0f = r0.astype(jnp.float32)[:, None]
         rep = lambda v: jnp.broadcast_to(v.astype(jnp.float32)[:, None],
@@ -613,7 +626,8 @@ def _make_desc_hist(WR: int):
             r0f + rws - rep(y), rep(c0.astype(jnp.float32) - x),
             rep(radius), rep(hw), r0f + rws, rep(c0),
             rep(cos_o), rep(sin_o), rep(dirv),
-            z, z, z, z, z, z, z,
+            rep(hb), rep(wb),
+            z, z, z, z, z,
         ], axis=-1).reshape(nblk * _BKD * WR, 16)
         with jax.enable_x64(False):
             hist = _desc_hist_pallas(S, ap.shape[1], ap.shape[2], K, WR, H, W,
@@ -622,12 +636,12 @@ def _make_desc_hist(WR: int):
 
     @desc_hist.def_vmap
     def _desc_hist_vmap(axis_size, in_batched, a, b, s, y, x, radius, hw,
-                        cos_o, sin_o, dirv):
+                        cos_o, sin_o, dirv, hb, wb):
         B = axis_size
         vb = list(in_batched)
-        args = [a, b, s, y, x, radius, hw, cos_o, sin_o, dirv]
+        args = [a, b, s, y, x, radius, hw, cos_o, sin_o, dirv, hb, wb]
         bcast = lambda v, was: v if was else jnp.broadcast_to(v[None], (B,) + v.shape)
-        a, b, s, y, x, radius, hw, cos_o, sin_o, dirv = (
+        a, b, s, y, x, radius, hw, cos_o, sin_o, dirv, hb, wb = (
             bcast(v, w) for v, w in zip(args, vb)
         )
         _, S, H, W = a.shape
@@ -638,33 +652,50 @@ def _make_desc_hist(WR: int):
             a.reshape(B * S, H, W), b.reshape(B * S, H, W), s_flat,
             y.reshape(-1), x.reshape(-1), radius.reshape(-1), hw.reshape(-1),
             cos_o.reshape(-1), sin_o.reshape(-1), dirv.reshape(-1),
+            hb.reshape(-1), wb.reshape(-1),
         )
         return hist.reshape(B, K, DESC_W4 * DESC_W4 * DESC_NB), True
 
     return desc_hist
 
 
-def descriptor_histogram(mag, ort, s, y, x, radius, hw, dirv, WR: int):
+def descriptor_histogram(mag, ort, s, y, x, radius, hw, dirv, WR: int,
+                         wh=None):
     """Per-keypoint raw SIFT histogram [K, 128] (pre-RootSIFT), fused
     window-DMA + rotated trilinear soft-binning kernel.  radius: [K] rounded
     circular window radius; hw: [K] spatial bin width (hist_w); dirv: [K]
-    keypoint direction.  Batch with jax.vmap."""
+    keypoint direction; wh: optional [K,2] per-keypoint (w, h) bounds for
+    stacked-octave planes.  Batch with jax.vmap."""
     assert WR % 8 == 0, WR
+    hb, wb = _kp_bounds(mag, s, wh)
     return _make_desc_hist(WR)(
         mag, ort, s, y, x,
         radius.astype(jnp.float32), hw.astype(jnp.float32),
         jnp.cos(dirv).astype(jnp.float32), jnp.sin(dirv).astype(jnp.float32),
-        dirv.astype(jnp.float32),
+        dirv.astype(jnp.float32), hb, wb,
     )
 
 
 def orientation_histogram(mag: jnp.ndarray, ort: jnp.ndarray, s: jnp.ndarray,
                           y: jnp.ndarray, x: jnp.ndarray, rad: jnp.ndarray,
-                          invden: jnp.ndarray, WR: int) -> jnp.ndarray:
+                          invden: jnp.ndarray, WR: int,
+                          wh: jnp.ndarray | None = None) -> jnp.ndarray:
     """Per-keypoint 36-bin orientation histogram, fused window-DMA +
     histogram kernel.  mag/ort: [S, H, W] planes; s/y/x: [K] keypoint
     location; rad: [K] integral circular-window radius (already rounded);
     invden: [K] = 1/(2 sigma^2) gaussian weight factor.  Returns [K, 36].
+    wh: optional [K,2] per-keypoint (w, h) interior bounds — pass when
+    several octaves share one stacked plane (defaults to the plane dims).
     Batch with jax.vmap (folds into one kernel call)."""
     assert WR % 8 == 0, WR
-    return _make_ori_hist(WR)(mag, ort, s, y, x, rad, invden)
+    hb, wb = _kp_bounds(mag, s, wh)
+    return _make_ori_hist(WR)(mag, ort, s, y, x, rad, invden, hb, wb)
+
+
+def _kp_bounds(plane, s, wh):
+    """Per-keypoint (h, w) f32 bound arrays from optional [K.., 2] wh."""
+    if wh is None:
+        H, W = plane.shape[-2], plane.shape[-1]
+        return (jnp.full(s.shape, H, jnp.float32),
+                jnp.full(s.shape, W, jnp.float32))
+    return wh[..., 1].astype(jnp.float32), wh[..., 0].astype(jnp.float32)

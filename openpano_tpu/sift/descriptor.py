@@ -46,7 +46,15 @@ def desc_window_radius(cfg: Config) -> int:
 
 
 def compute_descriptors(kp: OrientedKeypoints, octave: Octave, cfg: Config) -> jnp.ndarray:
-    """Returns [K, 128] descriptors for oriented keypoints.
+    """Returns [K, 128] descriptors for oriented keypoints of one octave."""
+    return describe_keypoints(kp, octave.mag, octave.ort, cfg)
+
+
+def describe_keypoints(kp: OrientedKeypoints, mag: jnp.ndarray,
+                       ort: jnp.ndarray, cfg: Config,
+                       wh: jnp.ndarray | None = None) -> jnp.ndarray:
+    """[K, 128] RootSIFT descriptors over arbitrary (possibly
+    octave-stacked) mag/ort planes; wh: optional [K,2] per-keypoint (w, h).
 
     The rotated trilinear histogram runs as one fused window-DMA +
     soft-binning kernel (ops/windows.descriptor_histogram); only the tiny
@@ -61,7 +69,7 @@ def compute_descriptors(kp: OrientedKeypoints, octave: Octave, cfg: Config) -> j
     hist_w = kp.scale_factor * cfg.DESC_HIST_SCALE_FACTOR
     radius = _round_half_away((0.5 ** 0.5) * hist_w * (W4 + 1))
     hists = descriptor_histogram(
-        octave.mag, octave.ort, kp.s, kp.y, kp.x, radius, hist_w, kp.dir, WR
+        mag, ort, kp.s, kp.y, kp.x, radius, hist_w, kp.dir, WR, wh=wh
     )
 
     # RootSIFT (sift.cc:37-45)

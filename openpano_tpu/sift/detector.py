@@ -19,9 +19,8 @@ import jax.numpy as jnp
 
 from ..config import Config
 from ..ops.compact import compact_indices
-from .descriptor import Features, compute_descriptors
+from .descriptor import Features
 from .extrema import detect_extrema
-from .orientation import assign_orientation
 from .pyramid import build_scale_space
 
 
@@ -40,39 +39,59 @@ def octave_caps(cfg: Config, octave_index: int) -> tuple[int, int, int]:
 def detect_and_describe(working_img: jnp.ndarray, orig_wh: jnp.ndarray, cfg: Config) -> Features:
     """working_img: [H, W, 3] float32 (already at SIFT working size).
     orig_wh: [2] float (original image width, height) for coordinate output.
-    Returns Features with pos in half-shifted original-image coords."""
-    octaves = build_scale_space(working_img, cfg)
+    Returns Features with pos in half-shifted original-image coords.
 
-    real_xs, real_ys, descs, valids = [], [], [], []
+    Octave-merged execution: extrema run per octave at native shapes, then
+    raw keypoints from all octaves are compacted into one
+    MAX_KP_PER_IMAGE-slot set and the mag/ort planes are stacked (smaller
+    octaves zero-padded) so orientation and descriptor each run as ONE
+    fused kernel call over real keypoints — per-octave caps waste 2x the
+    kernel slots and 4x the launches."""
+    from .descriptor import describe_keypoints
+    from .orientation import orient_keypoints
+
+    octaves = build_scale_space(working_img, cfg)
+    S = cfg.NUM_SCALE
+    H0, W0 = octaves[0].mag.shape[-2], octaves[0].mag.shape[-1]
+
+    raws, whs, mags, orts = [], [], [], []
     for oi, octave in enumerate(octaves):
         # octave image area halves per octave (SCALE_FACTOR = sqrt(2)), so
         # the fixed-shape caps shrink with it — keeps padded work bounded
         caps = octave_caps(cfg, oi)
         raw = detect_extrema(octave, cfg, cap_cand=caps[0], cap_kp=caps[1])
-        oriented = assign_orientation(raw, octave, cfg, cap=caps[2])
-        desc = compute_descriptors(oriented, octave, cfg)
-        real_xs.append(oriented.real_x)
-        real_ys.append(oriented.real_y)
-        descs.append(desc)
-        valids.append(oriented.valid)
+        oh, ow = octave.mag.shape[-2], octave.mag.shape[-1]
+        raws.append(raw._replace(s=raw.s + oi * S))  # octave folds into scale
+        whs.append(jnp.broadcast_to(
+            jnp.asarray([ow, oh], jnp.float32), (raw.x.shape[0], 2)))
+        mags.append(jnp.pad(octave.mag, ((0, 0), (0, H0 - oh), (0, W0 - ow))))
+        orts.append(jnp.pad(octave.ort, ((0, 0), (0, H0 - oh), (0, W0 - ow))))
+    mag_all = jnp.concatenate(mags, axis=0)          # [O*S, H0, W0]
+    ort_all = jnp.concatenate(orts, axis=0)
+    raw_all = jax.tree_util.tree_map(lambda *a: jnp.concatenate(a), *raws)
+    wh_all = jnp.concatenate(whs, axis=0)
 
-    real_x = jnp.concatenate(real_xs)
-    real_y = jnp.concatenate(real_ys)
-    desc = jnp.concatenate(descs)
-    valid = jnp.concatenate(valids)
-
-    # compact across octaves to the per-image cap
+    # compact raw keypoints from all octaves into the per-image budget
     K = cfg.MAX_KP_PER_IMAGE
-    keep, n = compact_indices(valid, K)
-    kvalid = jnp.arange(K) < n
+    keep, n = compact_indices(raw_all.valid, K)
+    rvalid = jnp.arange(K) < n
+    raw_c = jax.tree_util.tree_map(lambda a: a[keep], raw_all)
+    raw_c = raw_c._replace(valid=rvalid)
+    wh_c = wh_all[keep]
 
+    oriented, wh_o = orient_keypoints(raw_c, mag_all, ort_all, cfg, cap=K,
+                                      wh=wh_c)
+    desc = describe_keypoints(oriented, mag_all, ort_all, cfg, wh=wh_o)
+
+    kvalid = oriented.valid
     pos = jnp.stack(
-        [(real_x[keep] - 0.5) * orig_wh[0], (real_y[keep] - 0.5) * orig_wh[1]],
+        [(oriented.real_x - 0.5) * orig_wh[0],
+         (oriented.real_y - 0.5) * orig_wh[1]],
         axis=-1,
     )
     return Features(
         pos=jnp.where(kvalid[:, None], pos, 0.0),
-        desc=jnp.where(kvalid[:, None], desc[keep], 0.0),
+        desc=jnp.where(kvalid[:, None], desc, 0.0),
         valid=kvalid,
     )
 

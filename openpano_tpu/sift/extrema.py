@@ -28,7 +28,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from ..config import Config
-from ..ops.compact import compact_indices
+from ..ops.compact import compact_indices, compact_indices_capped
 from .pyramid import Octave
 
 
@@ -124,7 +124,10 @@ def detect_extrema(octave: Octave, cfg: Config, cap_cand: int | None = None,
     cap_kp = cfg.MAX_KP_PER_OCTAVE if cap_kp is None else cap_kp
 
     cand = _candidate_mask(dog, cfg)
-    flat_idx, n_cand = compact_indices(cand.reshape(-1), cap_cand)
+    # capped compaction: strict 26-neighbor extrema are never adjacent, so
+    # 32 hits per 128 lanes is a safe local bound and this avoids the exact
+    # algorithm's per-slot row gather over the multi-million-lane mask
+    flat_idx, n_cand = compact_indices_capped(cand.reshape(-1), cap_cand)
     lane = jnp.arange(cap_cand)
     alive = lane < n_cand
 

@@ -71,14 +71,22 @@ def slab_offsets(y, x, H: int, W: int, WR: int):
 
 def assign_orientation(kp: RawKeypoints, octave: Octave, cfg: Config,
                        cap: int | None = None) -> OrientedKeypoints:
+    cap = cfg.MAX_DESC_PER_OCTAVE if cap is None else cap
+    out, _ = orient_keypoints(kp, octave.mag, octave.ort, cfg, cap)
+    return out
+
+
+def orient_keypoints(kp: RawKeypoints, mag: jnp.ndarray, ort: jnp.ndarray,
+                     cfg: Config, cap: int, wh: jnp.ndarray | None = None):
+    """Orientation assignment over arbitrary (possibly octave-stacked)
+    mag/ort planes.  wh: optional [K, 2] per-keypoint (w, h) octave bounds.
+    Returns (OrientedKeypoints sized cap, gathered wh or None)."""
     nbins = cfg.ORI_HIST_BIN_NUM
     from ..ops.windows import ORI_NBINS
     assert nbins == ORI_NBINS, (nbins, ORI_NBINS)
-    cap = cfg.MAX_DESC_PER_OCTAVE if cap is None else cap
     R = ori_window_radius(cfg)
     WR = slab_rows(R)
 
-    _, H, W = octave.mag.shape
     # circular window of per-keypoint radius (orientation.cc:47-58), fused
     # window-DMA + 36-bin histogram kernel (ops/windows.py): the [K,WR,256]
     # mag/ort slabs never leave VMEM
@@ -86,8 +94,8 @@ def assign_orientation(kp: RawKeypoints, octave: Octave, cfg: Config,
     sigma = kp.scale_factor * cfg.ORI_WINDOW_FACTOR
     invden = 1.0 / (2.0 * sigma * sigma)
     hist = orientation_histogram(
-        octave.mag, octave.ort, kp.s, kp.y, kp.x,
-        rad.astype(jnp.float32), invden.astype(jnp.float32), WR,
+        mag, ort, kp.s, kp.y, kp.x,
+        rad.astype(jnp.float32), invden.astype(jnp.float32), WR, wh=wh,
     )                                                               # [K, nbins]
 
     for _ in range(cfg.ORI_HIST_SMOOTH_COUNT):
@@ -118,10 +126,11 @@ def assign_orientation(kp: RawKeypoints, octave: Octave, cfg: Config,
     kvalid = jnp.arange(cap) < n_keep
     kp_idx = keep // M
 
-    return OrientedKeypoints(
+    out = OrientedKeypoints(
         x=kp.x[kp_idx], y=kp.y[kp_idx], s=kp.s[kp_idx],
         scale_factor=kp.scale_factor[kp_idx],
         real_x=kp.real_x[kp_idx], real_y=kp.real_y[kp_idx],
         dir=dirs.reshape(-1)[keep],
         valid=kvalid,
     )
+    return out, (None if wh is None else wh[kp_idx])
