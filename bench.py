@@ -1,8 +1,8 @@
 """Headline benchmark: end-to-end panorama stitch throughput.
 
 Workload mirrors the reference's CMU0 headline (38 unordered 1300x867
-images, ESTIMATE_CAMERA mode, 51 s on an i7-6700HQ — BASELINE.md): by
-default a smaller warm-up friendly set is used unless BENCH_FULL=1.
+images, ESTIMATE_CAMERA mode, 51 s on an i7-6700HQ — BASELINE.md).
+BENCH_SMALL=1 selects a quicker 13-image 640x480 variant.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline = our img/s divided by the reference's 0.745 img/s headline.
@@ -23,7 +23,7 @@ def main():
     from openpano_tpu.stitch.stitcher import stitch
     from openpano_tpu.synth import photo_scene, render_views
 
-    full = os.environ.get("BENCH_FULL", "0") == "1"
+    full = os.environ.get("BENCH_SMALL", "0") != "1"
     n = 38 if full else 13
     out_w, out_h = (1300, 867) if full else (640, 480)
     # full: a 336-degree sweep with CMU0-like dense overlap (each view keeps

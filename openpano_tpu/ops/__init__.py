@@ -3,6 +3,7 @@ from .imgproc import (
     INVALID,
     crop_to_largest_rect,
     hconcat,
+    vconcat,
     resize,
     rgb2grey,
     sample_bilinear,
@@ -11,5 +12,5 @@ from .imgproc import (
 
 __all__ = [
     "blur", "gauss_kernel", "resize", "rgb2grey", "sample_bilinear",
-    "crop_to_largest_rect", "hconcat", "working_size", "INVALID",
+    "crop_to_largest_rect", "hconcat", "vconcat", "working_size", "INVALID",
 ]

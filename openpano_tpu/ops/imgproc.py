@@ -128,6 +128,19 @@ def hconcat(mats: list[np.ndarray]) -> np.ndarray:
     return out
 
 
+def vconcat(mats: list[np.ndarray]) -> np.ndarray:
+    """Vertical concat with zero padding to the widest (imgproc.cc:112-133).
+    Debug/visualization helper; host-side."""
+    wmax = max(m.shape[1] for m in mats)
+    c = mats[0].shape[2]
+    out = np.zeros((sum(m.shape[0] for m in mats), wmax, c), dtype=np.float32)
+    y = 0
+    for m in mats:
+        out[y : y + m.shape[0], : m.shape[1]] = m
+        y += m.shape[0]
+    return out
+
+
 def working_size(w: int, h: int, target: int) -> tuple[int, int]:
     """Resize target so (w+h)/2 == SIFT_WORKING_SIZE, preserving aspect
     (reference: feature.cc:31-36: ratio = target*2/(w+h), floor dims)."""

@@ -20,6 +20,7 @@ import numpy as np
 
 from ..config import Config
 from ..geometry.dlt import perspective_dlt
+from ..io.transfer import fetch
 from ..geometry.ransac import MatchInfo, estimate_transform_batch
 from ..match.matcher import MatchResult, match_adjacent_pairs
 from ..ops.imgproc import sample_bilinear, INVALID
@@ -148,7 +149,7 @@ def stitch_cylinder(imgs: np.ndarray, cfg: Config, key=None) -> np.ndarray:
     )
     canvas = blend(warped, plan, ordered=True, multiband=cfg.MULTIBAND)
 
-    return np.asarray(
+    return fetch(
         perspective_correction(canvas, plan, np.stack(homos), wwh, mid)
     )
 

@@ -44,6 +44,9 @@ class RenderPlan(NamedTuple):
     out_w: int
     out_h: int
     ranges: np.ndarray       # [N,4] per-image canvas bbox (x0,y0,x1,y1), int
+    items: np.ndarray        # [M,5] (img, x0,y0,x1,y1) render items — images
+                             # whose angular span crosses the +-pi wrap are
+                             # split into one item per canvas-edge strip
 
 
 def _np_homo2proj(proj: str, h: np.ndarray) -> np.ndarray:
@@ -73,10 +76,12 @@ def plan_render(homos: np.ndarray, whs: np.ndarray, identity_idx: int,
     proj_max = np.full(2, -np.inf)
     per_min = np.zeros((n, 2))
     per_max = np.zeros((n, 2))
+    per_pp = []
     for i in range(n):
         pts = border * whs[i]                             # half-shifted px
         hpt = np.concatenate([pts, np.ones((400, 1))], -1) @ homos[i].T
         pp = _np_homo2proj(proj, hpt)
+        per_pp.append(pp)
         per_min[i] = pp.min(0)
         per_max[i] = pp.max(0)
         proj_min = np.minimum(proj_min, per_min[i])
@@ -104,10 +109,29 @@ def plan_render(homos: np.ndarray, whs: np.ndarray, identity_idx: int,
         resolution = resolution * (max_edge / max_output_size)
     size = ((proj_max - proj_min) / resolution).astype(int)
 
+    items = []
     for i in range(n):
         tl = ((per_min[i] - proj_min) / resolution).astype(int)
         br = ((per_max[i] - proj_min) / resolution).astype(int)
         ranges[i] = [tl[0], tl[1], min(br[0], size[0]), min(br[1], size[1])]
+
+        # angular-wrap split: an image whose border points straddle the
+        # +-pi seam gets a raw bbox spanning the whole canvas; emit one
+        # item per edge strip instead so the blender renders only covered
+        # columns
+        pp = per_pp[i]
+        if proj != "flat" and per_max[i][0] - per_min[i][0] > np.pi:
+            for sel in (pp[:, 0] < 0, pp[:, 0] >= 0):
+                if not sel.any():
+                    continue
+                smin = pp[sel].min(0)
+                smax = pp[sel].max(0)
+                stl = ((smin - proj_min) / resolution).astype(int)
+                sbr = ((smax - proj_min) / resolution).astype(int)
+                items.append([i, stl[0], stl[1],
+                              min(sbr[0], size[0]), min(sbr[1], size[1])])
+        else:
+            items.append([i, *ranges[i].astype(int)])
 
     return RenderPlan(
         proj=proj,
@@ -119,6 +143,7 @@ def plan_render(homos: np.ndarray, whs: np.ndarray, identity_idx: int,
         out_w=int(size[0]),
         out_h=int(size[1]),
         ranges=ranges.astype(np.int32),
+        items=np.asarray(items, np.int32).reshape(-1, 5),
     )
 
 
@@ -280,20 +305,104 @@ def _blend_linear_impl(imgs, homo_invs, whs, ranges, proj_min, resolution,
     return jnp.where(has[..., None], out, INVALID)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("proj", "out_h", "out_w", "ordered", "BH", "BW"),
+)
+def _blend_linear_bbox(imgs, homo_invs, whs, item_idx, ranges, origins,
+                       proj_min, resolution, proj: str, out_h: int,
+                       out_w: int, ordered: bool, BH: int, BW: int):
+    """Per-item scan over static max-bbox slabs.
+
+    One scan step per render item (an image, or one edge strip of a
+    wrap-straddling image) renders its projected bbox region (a [BH, BW]
+    slab at a per-item origin) and accumulates into the canvas — work
+    scales with covered area like a tile scheme, but in ~N steps instead
+    of ~20N tile items (each serial scan step costs fixed dispatch +
+    underutilizes the chip at 256^2 px; bbox slabs are ~20x larger)."""
+    _, proj2homo = PROJECTIONS[proj]
+    imgs = imgs.astype(jnp.float32)
+    t_h = jnp.arange(BH, dtype=jnp.float32)
+    t_w = jnp.arange(BW, dtype=jnp.float32)
+
+    def step(acc, per_item):
+        color_acc, w_acc = acc
+        idx, rng4, org = per_item
+        hinv = homo_invs[idx]
+        wh = whs[idx]
+        img = imgs[idx]
+        oy = org[1]
+        ox = org[0]
+        cx = (ox.astype(jnp.float32) + t_w) * resolution[0] + proj_min[0]
+        cy = (oy.astype(jnp.float32) + t_h) * resolution[1] + proj_min[1]
+        cgrid = jnp.stack(
+            [jnp.broadcast_to(cx[None, :], (BH, BW)),
+             jnp.broadcast_to(cy[:, None], (BH, BW))], axis=-1
+        )
+        hm = proj2homo(cgrid)                                  # [BH,BW,3]
+        ret = jnp.einsum("hwc,dc->hwd", hm, hinv.astype(jnp.float32))
+        z = ret[..., 2]
+        zsafe = jnp.where(jnp.abs(z) > 1e-20, z, 1e-20)
+        sx = ret[..., 0] / zsafe + wh[0] * 0.5
+        sy = ret[..., 1] / zsafe + wh[1] * 0.5
+        color, ok = sample_bilinear(img, sy, sx)
+        w = 0.5 - jnp.abs(sx / wh[0] - 0.5)
+        if not ordered:  # blend both directions (blender.cc:33-35)
+            w = w * (0.5 - jnp.abs(sy / wh[1] - 0.5))
+        ax = ox.astype(jnp.float32) + t_w[None, :]
+        ay = oy.astype(jnp.float32) + t_h[:, None]
+        in_bbox = (
+            (ax >= rng4[0]) & (ax < rng4[2]) & (ay >= rng4[1]) & (ay < rng4[3])
+        )
+        m = ok & (z > 0) & in_bbox
+        wm = jnp.where(m, w, 0.0)
+        wc = jnp.where(m[..., None], color, 0.0) * wm[..., None]
+        zero = jnp.int32(0)
+        cur_c = jax.lax.dynamic_slice(color_acc, (oy, ox, zero), (BH, BW, 3))
+        cur_w = jax.lax.dynamic_slice(w_acc, (oy, ox), (BH, BW))
+        color_acc = jax.lax.dynamic_update_slice(color_acc, cur_c + wc, (oy, ox, zero))
+        w_acc = jax.lax.dynamic_update_slice(w_acc, cur_w + wm, (oy, ox))
+        return (color_acc, w_acc), None
+
+    Hp = -(-out_h // 8) * 8 + BH
+    Wp = -(-out_w // 128) * 128 + BW
+    color0 = jnp.zeros((Hp, Wp, 3), jnp.float32)
+    w0 = jnp.zeros((Hp, Wp), jnp.float32)
+    (full, wfull), _ = jax.lax.scan(
+        step, (color0, w0), (item_idx, ranges, origins)
+    )
+    full = full[:out_h, :out_w]
+    wfull = wfull[:out_h, :out_w]
+    has = wfull > 0
+    out = full / jnp.where(has, wfull, 1.0)[..., None]
+    return jnp.where(has[..., None], out, INVALID)
+
+
 def blend_linear(imgs: jnp.ndarray, plan: RenderPlan, ordered: bool) -> jnp.ndarray:
     """imgs: [N, Hp, Wp, 3] stack padded with the INVALID sentinel beyond
     each image's (whs) extent.  Returns the blended [out_h, out_w, 3] canvas
     with INVALID where nothing was rendered."""
-    ti, ii, ny, nx = _tile_work(plan.ranges, plan.out_h, plan.out_w)
-    return _blend_linear_tiled(
+    it = plan.items
+    r = it[:, 1:5]
+    BH = int(max(1, (r[:, 3] - r[:, 1]).max()))
+    BW = int(max(1, (r[:, 2] - r[:, 0]).max()))
+    BH = -(-BH // 8) * 8
+    BW = -(-BW // 128) * 128
+    # per-item slab origin: bbox top-left, clamped so the slab stays inside
+    # the padded canvas (the padded canvas is out_{h,w} rounded up + BH/BW)
+    oy = np.clip(r[:, 1], 0, -(-plan.out_h // 8) * 8)
+    ox = np.clip(r[:, 0], 0, -(-plan.out_w // 128) * 128)
+    origins = np.stack([ox, oy], axis=-1).astype(np.int32)
+    return _blend_linear_bbox(
         imgs,
         jnp.asarray(plan.homo_invs),
         jnp.asarray(plan.whs, jnp.float32),
-        jnp.asarray(plan.ranges),
+        jnp.asarray(it[:, 0]),
+        jnp.asarray(r, jnp.float32),
+        jnp.asarray(origins),
         jnp.asarray(plan.proj_min, jnp.float32),
         jnp.asarray(plan.resolution, jnp.float32),
-        jnp.asarray(ti), jnp.asarray(ii),
-        plan.proj, plan.out_h, plan.out_w, ordered, ny, nx,
+        plan.proj, plan.out_h, plan.out_w, ordered, BH, BW,
     )
 
 

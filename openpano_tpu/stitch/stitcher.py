@@ -21,6 +21,7 @@ from ..config import Config
 from ..camera.camera import estimate_focal, intrinsic
 from ..camera.estimator import estimate_cameras
 from ..geometry.ransac import estimate_transform_batch
+from ..io.transfer import fetch
 from ..match.matcher import match_all_pairs, match_ring_pairs, pair_indices
 from ..utils.timer import total_timer
 from .render import plan_render, blend
@@ -165,10 +166,10 @@ def stitch(imgs: np.ndarray, cfg: Config, key=None, output: str = "f32"):
         plan = plan_render(homos, whs_np, mid, proj, cfg.MAX_OUTPUT_SIZE)
         canvas = blend(imgs, plan, ordered=cfg.ORDERED_INPUT, multiband=cfg.MULTIBAND)
         if output == "u8":
-            rgba = np.asarray(_f32_to_u8_rgba(canvas))   # ONE device->host copy
+            rgba = fetch(_f32_to_u8_rgba(canvas))        # ONE device->host copy
             result = (rgba[..., :3], rgba[..., 3] > 0)
         else:
-            result = np.asarray(canvas)
+            result = fetch(canvas)
     return result
 
 

@@ -70,3 +70,20 @@ def test_crop_to_largest_rect():
     out = crop_to_largest_rect(img)
     assert out.shape == (3, 6, 3)
     assert (out >= 0).all()
+
+
+def test_hconcat_vconcat(rng):
+    from openpano_tpu.ops import hconcat, vconcat
+
+    a = rng.uniform(size=(2, 3, 3)).astype(np.float32)
+    b = rng.uniform(size=(4, 2, 3)).astype(np.float32)
+    h = hconcat([a, b])
+    assert h.shape == (4, 5, 3)
+    np.testing.assert_array_equal(h[:2, :3], a)
+    np.testing.assert_array_equal(h[:4, 3:], b)
+    assert (h[2:, :3] == 0).all()
+    v = vconcat([a, b])
+    assert v.shape == (6, 3, 3)
+    np.testing.assert_array_equal(v[:2], a)
+    np.testing.assert_array_equal(v[2:, :2], b)
+    assert (v[2:, 2:] == 0).all()
