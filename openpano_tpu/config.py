@@ -94,6 +94,11 @@ class Config:
     # f64 is software-emulated with a heavy compile.  The device path stays
     # available for the distributed large-scale BA (set False).
     BA_ON_HOST: bool = True
+    # Stream the u8 linear blend as column-band groups whose finalized
+    # strips download (copy_to_host_async) while later bands compute.
+    # Wins only when device->host copies overlap compute on the attached
+    # runtime; off by default pending per-deployment measurement.
+    STREAM_BLEND: bool = False
 
     @property
     def DESC_LEN(self) -> int:

@@ -406,6 +406,146 @@ def blend_linear(imgs: jnp.ndarray, plan: RenderPlan, ordered: bool) -> jnp.ndar
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("proj", "ordered", "BH", "BW"),
+    donate_argnums=(0, 1),
+)
+def _blend_group(color_acc, w_acc, imgs, homo_invs, whs, item_idx, ranges,
+                 origins, proj_min, resolution, proj: str, ordered: bool,
+                 BH: int, BW: int):
+    """One group of the streamed blend: scan the group's items (same math
+    as _blend_linear_bbox.step) into the donated canvas accumulators."""
+    _, proj2homo = PROJECTIONS[proj]
+    imgs = imgs.astype(jnp.float32)
+    t_h = jnp.arange(BH, dtype=jnp.float32)
+    t_w = jnp.arange(BW, dtype=jnp.float32)
+
+    def step(acc, per_item):
+        color_acc, w_acc = acc
+        idx, rng4, org = per_item
+        hinv = homo_invs[idx]
+        wh = whs[idx]
+        img = imgs[idx]
+        oy = org[1]
+        ox = org[0]
+        cx = (ox.astype(jnp.float32) + t_w) * resolution[0] + proj_min[0]
+        cy = (oy.astype(jnp.float32) + t_h) * resolution[1] + proj_min[1]
+        cgrid = jnp.stack(
+            [jnp.broadcast_to(cx[None, :], (BH, BW)),
+             jnp.broadcast_to(cy[:, None], (BH, BW))], axis=-1
+        )
+        hm = proj2homo(cgrid)
+        ret = jnp.einsum("hwc,dc->hwd", hm, hinv.astype(jnp.float32))
+        z = ret[..., 2]
+        zsafe = jnp.where(jnp.abs(z) > 1e-20, z, 1e-20)
+        sx = ret[..., 0] / zsafe + wh[0] * 0.5
+        sy = ret[..., 1] / zsafe + wh[1] * 0.5
+        color, ok = sample_bilinear(img, sy, sx)
+        w = 0.5 - jnp.abs(sx / wh[0] - 0.5)
+        if not ordered:  # blend both directions (blender.cc:33-35)
+            w = w * (0.5 - jnp.abs(sy / wh[1] - 0.5))
+        ax = ox.astype(jnp.float32) + t_w[None, :]
+        ay = oy.astype(jnp.float32) + t_h[:, None]
+        in_bbox = (
+            (ax >= rng4[0]) & (ax < rng4[2]) & (ay >= rng4[1]) & (ay < rng4[3])
+        )
+        m = ok & (z > 0) & in_bbox
+        wm = jnp.where(m, w, 0.0)
+        wc = jnp.where(m[..., None], color, 0.0) * wm[..., None]
+        zero = jnp.int32(0)
+        cur_c = jax.lax.dynamic_slice(color_acc, (oy, ox, zero), (BH, BW, 3))
+        cur_w = jax.lax.dynamic_slice(w_acc, (oy, ox), (BH, BW))
+        color_acc = jax.lax.dynamic_update_slice(color_acc, cur_c + wc, (oy, ox, zero))
+        w_acc = jax.lax.dynamic_update_slice(w_acc, cur_w + wm, (oy, ox))
+        return (color_acc, w_acc), None
+
+    (color_acc, w_acc), _ = jax.lax.scan(
+        step, (color_acc, w_acc), (item_idx, ranges, origins)
+    )
+    return color_acc, w_acc
+
+
+@functools.partial(jax.jit, static_argnames=("out_h", "SW"))
+def _strip_u8_i32(color_acc, w_acc, start, out_h: int, SW: int):
+    """Finalized column strip [start, start+SW) -> packed RGBA-as-int32
+    [out_h, SW] (normalize, u8-convert per _f32_to_u8_rgba semantics,
+    bitcast 4 bytes -> 1 element for the cheap tunnel download)."""
+    zero = jnp.int32(0)
+    c = jax.lax.dynamic_slice(color_acc, (zero, start, zero),
+                              (out_h, SW, 3))
+    w = jax.lax.dynamic_slice(w_acc, (zero, start), (out_h, SW))
+    has = w > 0
+    out = c / jnp.where(has, w, 1.0)[..., None]
+    u8 = jnp.round(jnp.clip(out, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+    rgb = jnp.where(has[..., None], u8, 255)
+    rgba = jnp.concatenate([rgb, has[..., None].astype(jnp.uint8)], axis=-1)
+    return jax.lax.bitcast_convert_type(rgba, jnp.int32)
+
+
+def blend_linear_stream_u8(imgs: jnp.ndarray, plan: RenderPlan,
+                           ordered: bool, groups: int = 4) -> np.ndarray:
+    """Streamed linear blend straight to a host RGBA uint8 canvas.
+
+    Items are sorted by bbox x-start and split into `groups` column bands;
+    after band g's accumulation, columns [g*SW, (g+1)*SW) can never be
+    touched again, so that strip is normalized + u8-packed on device and
+    its host copy starts (copy_to_host_async) while later bands still
+    compute — hiding most of the slow tunnel download behind blend work."""
+    it = plan.items
+    r = it[:, 1:5]
+    BH = -(-int(max(1, (r[:, 3] - r[:, 1]).max())) // 8) * 8
+    BW = -(-int(max(1, (r[:, 2] - r[:, 0]).max())) // 128) * 128
+    Hp = -(-plan.out_h // 8) * 8 + BH
+    Wp = -(-plan.out_w // 128) * 128 + BW
+    oy = np.clip(r[:, 1], 0, -(-plan.out_h // 8) * 8)
+    ox = np.clip(r[:, 0], 0, -(-plan.out_w // 128) * 128)
+
+    G = groups if len(it) >= 2 * groups else 1
+    SW = -(-(-(-Wp // G)) // 128) * 128  # ceil(Wp/G) rounded up to 128
+    while (G - 1) * SW >= Wp:  # last strip must be non-empty
+        G -= 1
+    Wp = G * SW  # pad so every strip slice stays in bounds
+    gid = np.minimum(ox // SW, G - 1)
+
+    # fixed per-group item capacity; dummies have empty bboxes (no-ops)
+    IC = max(int(np.bincount(gid, minlength=G).max()), 1)
+    g_idx = np.zeros((G, IC), np.int32)
+    g_rng = np.zeros((G, IC, 4), np.float32)
+    g_org = np.zeros((G, IC, 2), np.int32)
+    for g in range(G):
+        sel = np.flatnonzero(gid == g)
+        g_idx[g, : len(sel)] = it[sel, 0]
+        g_rng[g, : len(sel)] = r[sel]
+        g_org[g, : len(sel), 0] = ox[sel]
+        g_org[g, : len(sel), 1] = oy[sel]
+
+    color_acc = jnp.zeros((Hp, Wp, 3), jnp.float32)
+    w_acc = jnp.zeros((Hp, Wp), jnp.float32)
+    homo_invs = jnp.asarray(plan.homo_invs)
+    whs = jnp.asarray(plan.whs, jnp.float32)
+    proj_min = jnp.asarray(plan.proj_min, jnp.float32)
+    resolution = jnp.asarray(plan.resolution, jnp.float32)
+
+    strips = []
+    for g in range(G):
+        color_acc, w_acc = _blend_group(
+            color_acc, w_acc, imgs, homo_invs, whs,
+            jnp.asarray(g_idx[g]), jnp.asarray(g_rng[g]),
+            jnp.asarray(g_org[g]), proj_min, resolution,
+            plan.proj, ordered, BH, BW,
+        )
+        strip = _strip_u8_i32(
+            color_acc, w_acc, jnp.int32(g * SW), plan.out_h, SW
+        )
+        strip.copy_to_host_async()
+        strips.append(strip)
+
+    parts = [np.asarray(s).view(np.uint8).reshape(plan.out_h, SW, 4)
+             for s in strips]
+    return np.concatenate(parts, axis=1)[:, : plan.out_w]
+
+
 def blend(imgs: jnp.ndarray, plan: RenderPlan, ordered: bool, multiband: int) -> jnp.ndarray:
     """Blender dispatch (ConnectedImages::blend, stitcher_image.cc:131-136):
     MultiBand when multiband > 0, else Linear."""

@@ -24,7 +24,7 @@ from ..geometry.ransac import estimate_transform_batch
 from ..io.transfer import fetch
 from ..match.matcher import match_all_pairs, match_ring_pairs, pair_indices
 from ..utils.timer import total_timer
-from .render import plan_render, blend
+from .render import blend_linear_stream_u8, plan_render, blend
 from .stitcherbase import compute_features
 
 
@@ -164,12 +164,17 @@ def stitch(imgs: np.ndarray, cfg: Config, key=None, output: str = "f32"):
 
     with total_timer("blend"):
         plan = plan_render(homos, whs_np, mid, proj, cfg.MAX_OUTPUT_SIZE)
-        canvas = blend(imgs, plan, ordered=cfg.ORDERED_INPUT, multiband=cfg.MULTIBAND)
-        if output == "u8":
-            rgba = fetch(_f32_to_u8_rgba(canvas))        # ONE device->host copy
+        if output == "u8" and cfg.MULTIBAND == 0 and cfg.STREAM_BLEND:
+            # streamed path: column-strip downloads overlap blend compute
+            rgba = blend_linear_stream_u8(imgs, plan, ordered=cfg.ORDERED_INPUT)
             result = (rgba[..., :3], rgba[..., 3] > 0)
         else:
-            result = fetch(canvas)
+            canvas = blend(imgs, plan, ordered=cfg.ORDERED_INPUT, multiband=cfg.MULTIBAND)
+            if output == "u8":
+                rgba = fetch(_f32_to_u8_rgba(canvas))    # ONE device->host copy
+                result = (rgba[..., :3], rgba[..., 3] > 0)
+            else:
+                result = fetch(canvas)
     return result
 
 
