@@ -259,7 +259,7 @@ def mode_stitch(args, cfg):
     t0 = time.time()
     key = jax.random.PRNGKey(args.seed)
     if cfg.CYLINDER:
-        canvas = stitch_cylinder(stack.astype(np.float32) / 255.0, cfg, key)
+        canvas = stitch_cylinder(stack, cfg, key)
         valid = canvas[..., 0] >= 0
         canvas = np.where(
             canvas < 0, np.uint8(255),

@@ -38,17 +38,24 @@ def _np_undelta_rows(d: np.ndarray) -> np.ndarray:
     return np.cumsum(d.astype(np.int64), axis=1).astype(np.uint8)
 
 
+def _delta_rows_shape(shape) -> tuple[int, int]:
+    """Delta runs along image rows: [..., H, W, C] -> (.*H, W*C) planes."""
+    if len(shape) >= 3:
+        return int(np.prod(shape[:-2])), int(shape[-2] * shape[-1])
+    if len(shape) == 2:
+        return int(shape[0]), int(shape[1])
+    return 1, int(np.prod(shape))
+
+
 def fetch_u8_delta(arr, chunks: int = _DEFAULT_CHUNKS) -> np.ndarray:
     """Device->host copy of a uint8 array via row-delta coding.
 
     The tunnel transport compresses its stream; smooth image data delta-
     codes to near-zero bytes and transfers several times faster.  The
     delta plane is computed on device (one subtract) and undone on host
-    with a cumsum.  Shape is preserved; last axis treated as channels
-    when ndim>=3 (deltas run along the second-to-last axis stride)."""
+    with a cumsum; deltas run along image rows (last two axes)."""
     shape = arr.shape
-    flat = arr.reshape(shape[0], -1)           # delta along each row
-    d = _delta_rows(flat)
+    d = _delta_rows(arr.reshape(_delta_rows_shape(shape)))
     host = fetch(d, chunks)
     return _np_undelta_rows(host).reshape(shape)
 
@@ -57,7 +64,7 @@ def device_put_u8_delta(arr: np.ndarray, device=None):
     """Host->device upload of uint8 data via row-delta coding (inverse
     cumsum runs on device).  Returns a device array of the same shape."""
     shape = arr.shape
-    flat = arr.reshape(shape[0], -1).astype(np.int64)
+    flat = arr.reshape(_delta_rows_shape(shape)).astype(np.int16)
     d = np.concatenate(
         [flat[:, :1], (flat[:, 1:] - flat[:, :-1]) & 0xFF], axis=1
     ).astype(np.uint8)

@@ -20,7 +20,7 @@ import numpy as np
 
 from ..config import Config
 from ..geometry.dlt import perspective_dlt
-from ..io.transfer import fetch
+from ..io.transfer import device_put_u8_delta, fetch
 from ..geometry.ransac import MatchInfo, estimate_transform_batch
 from ..match.matcher import MatchResult, match_adjacent_pairs
 from ..ops.imgproc import sample_bilinear, INVALID
@@ -54,7 +54,10 @@ def stitch_cylinder(imgs: np.ndarray, cfg: Config, key=None) -> np.ndarray:
     stitched RGB canvas (float32, INVALID=-1 where empty, pre-crop)."""
     if key is None:
         key = jax.random.PRNGKey(0)
-    imgs = jnp.asarray(imgs, jnp.float32)
+    if isinstance(imgs, np.ndarray) and imgs.dtype == np.uint8:
+        imgs = device_put_u8_delta(imgs).astype(jnp.float32) / 255.0
+    else:
+        imgs = jnp.asarray(imgs, jnp.float32)
     n, H, W = imgs.shape[0], imgs.shape[1], imgs.shape[2]
     mid = n >> 1
 

@@ -21,7 +21,7 @@ from ..config import Config
 from ..camera.camera import estimate_focal, intrinsic
 from ..camera.estimator import estimate_cameras
 from ..geometry.ransac import estimate_transform_batch
-from ..io.transfer import fetch
+from ..io.transfer import device_put_u8_delta, fetch
 from ..match.matcher import match_all_pairs, match_ring_pairs, pair_indices
 from ..utils.timer import total_timer
 from .render import blend_linear_stream_u8, plan_render, blend
@@ -129,11 +129,15 @@ def stitch(imgs: np.ndarray, cfg: Config, key=None, output: str = "f32"):
     """
     if key is None:
         key = jax.random.PRNGKey(0)
-    imgs = jnp.asarray(imgs)
-    if imgs.dtype == jnp.uint8:
-        imgs = _u8_to_f32(imgs)
+    if isinstance(imgs, np.ndarray) and imgs.dtype == np.uint8:
+        # row-delta coded upload: photo rows compress well in the transport
+        imgs = _u8_to_f32(device_put_u8_delta(imgs))
     else:
-        imgs = imgs.astype(jnp.float32)
+        imgs = jnp.asarray(imgs)
+        if imgs.dtype == jnp.uint8:
+            imgs = _u8_to_f32(imgs)
+        else:
+            imgs = imgs.astype(jnp.float32)
     n, H, W = imgs.shape[0], imgs.shape[1], imgs.shape[2]
     mid = n >> 1                                  # assign_center, stitcher.cc:138-141
 
