@@ -62,3 +62,57 @@ class TestShardedPipeline:
         np.testing.assert_allclose(
             np.asarray(out1["canvas"]), np.asarray(out8["canvas"]), atol=1e-5
         )
+
+
+def test_distributed_ba_matches_single_device(rng):
+    """Pair-sharded LM over the 8-device mesh == single-device LM."""
+    import jax.numpy as jnp
+
+    from openpano_tpu.camera.bundle_adjuster import (
+        BAPairProblem,
+        ba_optimize_pairs,
+    )
+    from openpano_tpu.parallel.dist_ba import ba_optimize_pairs_sharded
+    from openpano_tpu.parallel.mesh import make_mesh
+
+    n, M = 6, 64
+    f = 500.0
+    def rot(th):
+        return np.array([
+            [np.cos(th), 0, np.sin(th)], [0, 1, 0],
+            [-np.sin(th), 0, np.cos(th)],
+        ])
+    Rs = [rot(0.3 * (i - n / 2)) for i in range(n)]
+    K = np.diag([f, f, 1.0])
+    pairs = [(i, i + 1) for i in range(n - 1)] + [(i, i + 2) for i in range(n - 2)]
+    P = len(pairs)
+    pt_to = np.zeros((P, M, 2)); pt_from = np.zeros((P, M, 2)); w = np.zeros((P, M))
+    for s, (i, j) in enumerate(pairs):
+        Hij = K @ Rs[i] @ Rs[j].T @ np.linalg.inv(K)
+        p_j = rng.uniform(-200, 200, size=(M, 2))
+        hp = np.concatenate([p_j, np.ones((M, 1))], 1) @ Hij.T
+        p_i = hp[:, :2] / hp[:, 2:3]
+        pt_to[s], pt_from[s] = p_i, p_j
+        w[s] = 1.0
+    params = np.zeros((n, 6))
+    params[:, 0] = f * 1.08          # perturbed focal; rotations at truth
+    for i in range(n):
+        from openpano_tpu.camera.estimator import _np_unrod
+        params[i, 3:6] = _np_unrod(Rs[i])
+
+    prob = BAPairProblem(
+        pt_to=jnp.asarray(pt_to), pt_from=jnp.asarray(pt_from),
+        w=jnp.asarray(w),
+        cam_to=jnp.asarray([p[0] for p in pairs], jnp.int32),
+        cam_from=jnp.asarray([p[1] for p in pairs], jnp.int32),
+        swapped=jnp.zeros(P, bool), pair_w=jnp.ones(P),
+    )
+    single = np.asarray(ba_optimize_pairs(
+        jnp.asarray(params), prob, jnp.asarray(0), n, 5.0))
+    mesh = make_mesh(8)
+    dist = np.asarray(ba_optimize_pairs_sharded(
+        params, prob, 0, n, 5.0, mesh))
+    # f64 all the way; psum ordering may differ at the last ulp
+    np.testing.assert_allclose(dist, single, rtol=1e-9, atol=1e-9)
+    # and it actually improved the focal towards truth
+    assert abs(single[:, 0].mean() - f) / f < 0.01
