@@ -147,254 +147,46 @@ def plan_render(homos: np.ndarray, whs: np.ndarray, identity_idx: int,
     )
 
 
-_TILE = 256  # canvas tile edge for the tiled blender
-
-
-def _tile_work(ranges: np.ndarray, out_h: int, out_w: int,
-               tile: int = _TILE) -> tuple[np.ndarray, np.ndarray, int, int]:
-    """Host-side work plan: one item per (canvas tile, covering image).
-
-    The reference's LAZY_READ blender iterates whole images over the whole
-    canvas (blender.cc:38-76); on TPU that wastes ~n_images x the canvas
-    bandwidth in inverse-warp gathers.  Each image's projected bbox
-    (``ranges``, computed at plan time like ConnectedImages::ImageComponent
-    ::range at stitcher_image.cc:59-75) bounds which tiles it can touch, so
-    the device only renders intersecting (tile, image) pairs.  Padded to a
-    bucketed length to limit recompiles.
-    """
-    ny = -(-out_h // tile)
-    nx = -(-out_w // tile)
-    tis, iis = [], []
-    for ty in range(ny):
-        for tx in range(nx):
-            y0, y1 = ty * tile, (ty + 1) * tile
-            x0, x1 = tx * tile, (tx + 1) * tile
-            for i in range(ranges.shape[0]):
-                rx0, ry0, rx1, ry1 = ranges[i]
-                if rx0 < x1 and rx1 > x0 and ry0 < y1 and ry1 > y0:
-                    tis.append(ty * nx + tx)
-                    iis.append(i)
-    P = max(len(tis), 1)
-    P = -(-P // 16) * 16
-    ti = np.full(P, -1, np.int32)
-    ii = np.zeros(P, np.int32)
-    ti[: len(tis)] = tis
-    ii[: len(iis)] = iis
-    return ti, ii, ny, nx
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("proj", "out_h", "out_w", "ordered", "ny", "nx", "tile"),
-)
-def _blend_linear_tiled(imgs, homo_invs, whs, ranges, proj_min, resolution,
-                        work_ti, work_ii, proj: str, out_h: int, out_w: int,
-                        ordered: bool, ny: int, nx: int, tile: int = _TILE):
-    """Tiled linear blender: vmap over (tile, image) work items, then a
-    block segment-sum over tiles.  Work scales with covered area, not
-    n_images x canvas."""
-    _, proj2homo = PROJECTIONS[proj]
-    imgs = imgs.astype(jnp.float32)
-    T = tile
-    t_ar = jnp.arange(T, dtype=jnp.float32)
-
-    def item(ti, ii):
-        alive = ti >= 0
-        tis = jnp.maximum(ti, 0)
-        ty = (tis // nx).astype(jnp.float32)
-        tx = (tis % nx).astype(jnp.float32)
-        cx = (tx * T + t_ar) * resolution[0] + proj_min[0]
-        cy = (ty * T + t_ar) * resolution[1] + proj_min[1]
-        cgrid = jnp.stack(
-            [jnp.broadcast_to(cx[None, :], (T, T)),
-             jnp.broadcast_to(cy[:, None], (T, T))], axis=-1
-        )
-        hm = proj2homo(cgrid)                                  # [T,T,3]
-        ret = jnp.einsum("hwc,dc->hwd", hm, homo_invs[ii].astype(jnp.float32))
-        z = ret[..., 2]
-        zsafe = jnp.where(jnp.abs(z) > 1e-20, z, 1e-20)
-        sx = ret[..., 0] / zsafe + whs[ii, 0] * 0.5
-        sy = ret[..., 1] / zsafe + whs[ii, 1] * 0.5
-        color, ok = sample_bilinear(imgs[ii], sy, sx)
-        w = 0.5 - jnp.abs(sx / whs[ii, 0] - 0.5)
-        if not ordered:  # blend both directions (blender.cc:33-35)
-            w = w * (0.5 - jnp.abs(sy / whs[ii, 1] - 0.5))
-        # absolute canvas coords of this tile, clipped to the image bbox
-        ax = tx * T + t_ar[None, :]
-        ay = ty * T + t_ar[:, None]
-        x0, y0, x1, y1 = ranges[ii, 0], ranges[ii, 1], ranges[ii, 2], ranges[ii, 3]
-        in_bbox = (ax >= x0) & (ax < x1) & (ay >= y0) & (ay < y1)
-        m = ok & (z > 0) & in_bbox & alive
-        wm = jnp.where(m, w, 0.0)
-        return jnp.where(m[..., None], color, 0.0) * wm[..., None], wm
-
-    # scan (not vmap) over work items: per-item image access is a dynamic
-    # slice and each bilinear tap a plain 2-D gather — the vmapped
-    # formulation lowers to batched gathers/scatters that TPU executes
-    # element-at-a-time
-    def step(acc, work):
-        ti, ii = work
-        color_acc, w_acc = acc
-        wc, wm = item(ti, ii)
-        tis = jnp.maximum(ti, 0)
-        oy = (tis // nx) * T
-        ox = (tis % nx) * T
-        zero = jnp.int32(0)
-        cur_c = jax.lax.dynamic_slice(color_acc, (oy, ox, zero), (T, T, 3))
-        cur_w = jax.lax.dynamic_slice(w_acc, (oy, ox), (T, T))
-        color_acc = jax.lax.dynamic_update_slice(color_acc, cur_c + wc, (oy, ox, zero))
-        w_acc = jax.lax.dynamic_update_slice(w_acc, cur_w + wm, (oy, ox))
-        return (color_acc, w_acc), None
-
-    color0 = jnp.zeros((ny * T, nx * T, 3), jnp.float32)
-    w0 = jnp.zeros((ny * T, nx * T), jnp.float32)
-    (full, wfull), _ = jax.lax.scan(step, (color0, w0), (work_ti, work_ii))
-    full = full[:out_h, :out_w]
-    wfull = wfull[:out_h, :out_w]
+@functools.partial(jax.jit, static_argnames=("out_h", "out_w"))
+def _finalize_canvas(color_acc, w_acc, out_h: int, out_w: int):
+    """Normalize accumulators to the f32 canvas with the INVALID sentinel."""
+    full = color_acc[:out_h, :out_w]
+    wfull = w_acc[:out_h, :out_w]
     has = wfull > 0
     out = full / jnp.where(has, wfull, 1.0)[..., None]
     return jnp.where(has[..., None], out, INVALID)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("proj", "out_h", "out_w", "ordered")
-)
-def _blend_linear_impl(imgs, homo_invs, whs, ranges, proj_min, resolution,
-                       proj: str, out_h: int, out_w: int, ordered: bool):
-    _, proj2homo = PROJECTIONS[proj]
-    n = imgs.shape[0]
-    imgs = imgs.astype(jnp.float32)  # image path is f32 even under x64
-
-    jj = jnp.arange(out_w, dtype=jnp.float32)
-    ii = jnp.arange(out_h, dtype=jnp.float32)
-    cx = jj * resolution[0] + proj_min[0]
-    cy = ii * resolution[1] + proj_min[1]
-    cgrid = jnp.stack(
-        [jnp.broadcast_to(cx[None, :], (out_h, out_w)),
-         jnp.broadcast_to(cy[:, None], (out_h, out_w))], axis=-1
-    )
-    hm = proj2homo(cgrid)                                  # [H,W,3]
-
-    def body(i, acc):
-        color_acc, w_acc = acc
-        ret = jnp.einsum("hwc,dc->hwd", hm, homo_invs[i].astype(jnp.float32))
-        z = ret[..., 2]
-        zsafe = jnp.where(jnp.abs(z) > 1e-20, z, 1e-20)
-        sx = ret[..., 0] / zsafe + whs[i, 0] * 0.5
-        sy = ret[..., 1] / zsafe + whs[i, 1] * 0.5
-        color, ok = sample_bilinear(imgs[i], sy, sx)
-        w = 0.5 - jnp.abs(sx / whs[i, 0] - 0.5)
-        if not ordered:  # blend both directions (blender.cc:33-35)
-            w = w * (0.5 - jnp.abs(sy / whs[i, 1] - 0.5))
-        x0, y0, x1, y1 = ranges[i, 0], ranges[i, 1], ranges[i, 2], ranges[i, 3]
-        in_bbox = (
-            (jnp.arange(out_w)[None, :] >= x0) & (jnp.arange(out_w)[None, :] < x1)
-            & (jnp.arange(out_h)[:, None] >= y0) & (jnp.arange(out_h)[:, None] < y1)
-        )
-        m = ok & (z > 0) & in_bbox
-        wm = jnp.where(m, w, 0.0)
-        color_acc = color_acc + jnp.where(m[..., None], color, 0.0) * wm[..., None]
-        w_acc = w_acc + wm
-        return color_acc, w_acc
-
-    color_acc = jnp.zeros((out_h, out_w, 3), jnp.float32)
-    w_acc = jnp.zeros((out_h, out_w), jnp.float32)
-    color_acc, w_acc = jax.lax.fori_loop(0, n, body, (color_acc, w_acc))
-    has = w_acc > 0
-    out = color_acc / jnp.where(has, w_acc, 1.0)[..., None]
-    return jnp.where(has[..., None], out, INVALID)
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("proj", "out_h", "out_w", "ordered", "BH", "BW"),
-)
-def _blend_linear_bbox(imgs, homo_invs, whs, item_idx, ranges, origins,
-                       proj_min, resolution, proj: str, out_h: int,
-                       out_w: int, ordered: bool, BH: int, BW: int):
-    """Per-item scan over static max-bbox slabs.
-
-    One scan step per render item (an image, or one edge strip of a
-    wrap-straddling image) renders its projected bbox region (a [BH, BW]
-    slab at a per-item origin) and accumulates into the canvas — work
-    scales with covered area like a tile scheme, but in ~N steps instead
-    of ~20N tile items (each serial scan step costs fixed dispatch +
-    underutilizes the chip at 256^2 px; bbox slabs are ~20x larger)."""
-    _, proj2homo = PROJECTIONS[proj]
-    imgs = imgs.astype(jnp.float32)
-    t_h = jnp.arange(BH, dtype=jnp.float32)
-    t_w = jnp.arange(BW, dtype=jnp.float32)
-
-    def step(acc, per_item):
-        color_acc, w_acc = acc
-        idx, rng4, org = per_item
-        hinv = homo_invs[idx]
-        wh = whs[idx]
-        img = imgs[idx]
-        oy = org[1]
-        ox = org[0]
-        cx = (ox.astype(jnp.float32) + t_w) * resolution[0] + proj_min[0]
-        cy = (oy.astype(jnp.float32) + t_h) * resolution[1] + proj_min[1]
-        cgrid = jnp.stack(
-            [jnp.broadcast_to(cx[None, :], (BH, BW)),
-             jnp.broadcast_to(cy[:, None], (BH, BW))], axis=-1
-        )
-        hm = proj2homo(cgrid)                                  # [BH,BW,3]
-        ret = jnp.einsum("hwc,dc->hwd", hm, hinv.astype(jnp.float32))
-        z = ret[..., 2]
-        zsafe = jnp.where(jnp.abs(z) > 1e-20, z, 1e-20)
-        sx = ret[..., 0] / zsafe + wh[0] * 0.5
-        sy = ret[..., 1] / zsafe + wh[1] * 0.5
-        color, ok = sample_bilinear(img, sy, sx)
-        w = 0.5 - jnp.abs(sx / wh[0] - 0.5)
-        if not ordered:  # blend both directions (blender.cc:33-35)
-            w = w * (0.5 - jnp.abs(sy / wh[1] - 0.5))
-        ax = ox.astype(jnp.float32) + t_w[None, :]
-        ay = oy.astype(jnp.float32) + t_h[:, None]
-        in_bbox = (
-            (ax >= rng4[0]) & (ax < rng4[2]) & (ay >= rng4[1]) & (ay < rng4[3])
-        )
-        m = ok & (z > 0) & in_bbox
-        wm = jnp.where(m, w, 0.0)
-        wc = jnp.where(m[..., None], color, 0.0) * wm[..., None]
-        zero = jnp.int32(0)
-        cur_c = jax.lax.dynamic_slice(color_acc, (oy, ox, zero), (BH, BW, 3))
-        cur_w = jax.lax.dynamic_slice(w_acc, (oy, ox), (BH, BW))
-        color_acc = jax.lax.dynamic_update_slice(color_acc, cur_c + wc, (oy, ox, zero))
-        w_acc = jax.lax.dynamic_update_slice(w_acc, cur_w + wm, (oy, ox))
-        return (color_acc, w_acc), None
-
-    Hp = -(-out_h // 8) * 8 + BH
-    Wp = -(-out_w // 128) * 128 + BW
-    color0 = jnp.zeros((Hp, Wp, 3), jnp.float32)
-    w0 = jnp.zeros((Hp, Wp), jnp.float32)
-    (full, wfull), _ = jax.lax.scan(
-        step, (color0, w0), (item_idx, ranges, origins)
-    )
-    full = full[:out_h, :out_w]
-    wfull = wfull[:out_h, :out_w]
-    has = wfull > 0
-    out = full / jnp.where(has, wfull, 1.0)[..., None]
-    return jnp.where(has[..., None], out, INVALID)
+def _slab_layout(plan: RenderPlan):
+    """Static slab geometry for the bbox blenders: per-item max bbox (BH,
+    BW), padded canvas (Hp, Wp), and clamped per-item slab origins."""
+    it = plan.items
+    r = it[:, 1:5]
+    BH = -(-int(max(1, (r[:, 3] - r[:, 1]).max())) // 8) * 8
+    BW = -(-int(max(1, (r[:, 2] - r[:, 0]).max())) // 128) * 128
+    Hp = -(-plan.out_h // 8) * 8 + BH
+    Wp = -(-plan.out_w // 128) * 128 + BW
+    oy = np.clip(r[:, 1], 0, -(-plan.out_h // 8) * 8)
+    ox = np.clip(r[:, 0], 0, -(-plan.out_w // 128) * 128)
+    return it, r, BH, BW, Hp, Wp, ox, oy
 
 
 def blend_linear(imgs: jnp.ndarray, plan: RenderPlan, ordered: bool) -> jnp.ndarray:
     """imgs: [N, Hp, Wp, 3] stack padded with the INVALID sentinel beyond
     each image's (whs) extent.  Returns the blended [out_h, out_w, 3] canvas
-    with INVALID where nothing was rendered."""
-    it = plan.items
-    r = it[:, 1:5]
-    BH = int(max(1, (r[:, 3] - r[:, 1]).max()))
-    BW = int(max(1, (r[:, 2] - r[:, 0]).max()))
-    BH = -(-BH // 8) * 8
-    BW = -(-BW // 128) * 128
-    # per-item slab origin: bbox top-left, clamped so the slab stays inside
-    # the padded canvas (the padded canvas is out_{h,w} rounded up + BH/BW)
-    oy = np.clip(r[:, 1], 0, -(-plan.out_h // 8) * 8)
-    ox = np.clip(r[:, 0], 0, -(-plan.out_w // 128) * 128)
+    with INVALID where nothing was rendered.
+
+    One scan step per render item (an image, or one edge strip of a
+    wrap-straddling image) renders its projected bbox region (a [BH, BW]
+    slab at a per-item origin) and accumulates into the canvas — work
+    scales with covered area, in ~N large steps (best MXU/VPU utilization
+    per dispatch)."""
+    it, r, BH, BW, Hp, Wp, ox, oy = _slab_layout(plan)
     origins = np.stack([ox, oy], axis=-1).astype(np.int32)
-    return _blend_linear_bbox(
-        imgs,
+    color_acc = jnp.zeros((Hp, Wp, 3), jnp.float32)
+    w_acc = jnp.zeros((Hp, Wp), jnp.float32)
+    color_acc, w_acc = _blend_group(
+        color_acc, w_acc, imgs,
         jnp.asarray(plan.homo_invs),
         jnp.asarray(plan.whs, jnp.float32),
         jnp.asarray(it[:, 0]),
@@ -402,8 +194,9 @@ def blend_linear(imgs: jnp.ndarray, plan: RenderPlan, ordered: bool) -> jnp.ndar
         jnp.asarray(origins),
         jnp.asarray(plan.proj_min, jnp.float32),
         jnp.asarray(plan.resolution, jnp.float32),
-        plan.proj, plan.out_h, plan.out_w, ordered, BH, BW,
+        plan.proj, ordered, BH, BW,
     )
+    return _finalize_canvas(color_acc, w_acc, plan.out_h, plan.out_w)
 
 
 @functools.partial(
@@ -492,14 +285,7 @@ def blend_linear_stream_u8(imgs: jnp.ndarray, plan: RenderPlan,
     touched again, so that strip is normalized + u8-packed on device and
     its host copy starts (copy_to_host_async) while later bands still
     compute — hiding most of the slow tunnel download behind blend work."""
-    it = plan.items
-    r = it[:, 1:5]
-    BH = -(-int(max(1, (r[:, 3] - r[:, 1]).max())) // 8) * 8
-    BW = -(-int(max(1, (r[:, 2] - r[:, 0]).max())) // 128) * 128
-    Hp = -(-plan.out_h // 8) * 8 + BH
-    Wp = -(-plan.out_w // 128) * 128 + BW
-    oy = np.clip(r[:, 1], 0, -(-plan.out_h // 8) * 8)
-    ox = np.clip(r[:, 0], 0, -(-plan.out_w // 128) * 128)
+    it, r, BH, BW, Hp, Wp, ox, oy = _slab_layout(plan)
 
     G = groups if len(it) >= 2 * groups else 1
     SW = -(-(-(-Wp // G)) // 128) * 128  # ceil(Wp/G) rounded up to 128
