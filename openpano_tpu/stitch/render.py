@@ -171,7 +171,8 @@ def _slab_layout(plan: RenderPlan):
     return it, r, BH, BW, Hp, Wp, ox, oy
 
 
-def blend_linear(imgs: jnp.ndarray, plan: RenderPlan, ordered: bool) -> jnp.ndarray:
+def blend_linear(imgs: jnp.ndarray, plan: RenderPlan, ordered: bool,
+                 packed_gather: bool = False) -> jnp.ndarray:
     """imgs: [N, Hp, Wp, 3] stack padded with the INVALID sentinel beyond
     each image's (whs) extent.  Returns the blended [out_h, out_w, 3] canvas
     with INVALID where nothing was rendered.
@@ -182,6 +183,8 @@ def blend_linear(imgs: jnp.ndarray, plan: RenderPlan, ordered: bool) -> jnp.ndar
     scales with covered area, in ~N large steps (best MXU/VPU utilization
     per dispatch)."""
     it, r, BH, BW, Hp, Wp, ox, oy = _slab_layout(plan)
+    if packed_gather:
+        imgs = pack_imgs_u8(imgs)
     origins = np.stack([ox, oy], axis=-1).astype(np.int32)
     color_acc = jnp.zeros((Hp, Wp, 3), jnp.float32)
     w_acc = jnp.zeros((Hp, Wp), jnp.float32)
@@ -199,6 +202,52 @@ def blend_linear(imgs: jnp.ndarray, plan: RenderPlan, ordered: bool) -> jnp.ndar
     return _finalize_canvas(color_acc, w_acc, plan.out_h, plan.out_w)
 
 
+@jax.jit
+def pack_imgs_u8(imgs: jnp.ndarray) -> jnp.ndarray:
+    """[N,H,W,3] f32 in [0,1] (INVALID<0 = empty) -> [N,H,W] int32 with
+    R|G|B|valid bytes.  One i32 element per pixel makes each bilinear tap
+    a scalar gather instead of a 3-vector gather (TPU gathers pay per
+    element row, and a minor dim of 3 wastes the lane).  Exact for u8
+    sources (u8 -> f32/255 -> u8 roundtrips)."""
+    valid = imgs[..., 0] >= 0
+    u8 = jnp.round(jnp.clip(imgs, 0.0, 1.0) * 255.0).astype(jnp.int32)
+    packed = (
+        u8[..., 0] | (u8[..., 1] << 8) | (u8[..., 2] << 16)
+        | (valid.astype(jnp.int32) << 24)
+    )
+    return jnp.where(valid, packed, 0)
+
+
+def _sample_bilinear_packed(img_i32, y, x):
+    """sample_bilinear over an R|G|B|valid-packed int32 image."""
+    h, w = img_i32.shape[0], img_i32.shape[1]
+    fy = jnp.floor(y)
+    fx = jnp.floor(x)
+    inb = (fy >= 0) & (fx >= 0) & (fy + 1 <= h - 1) & (fx + 1 <= w - 1)
+    iy = jnp.clip(fy, 0, h - 2).astype(jnp.int32)
+    ix = jnp.clip(fx, 0, w - 2).astype(jnp.int32)
+    ry = (y - fy)[..., None]
+    rx = (x - fx)[..., None]
+    p00 = img_i32[iy, ix]
+    p10 = img_i32[iy + 1, ix]
+    p01 = img_i32[iy, ix + 1]
+    p11 = img_i32[iy + 1, ix + 1]
+    ok = inb & ((p00 & p10 & p01 & p11) >> 24 > 0)
+
+    def rgb(p):
+        return jnp.stack(
+            [p & 0xFF, (p >> 8) & 0xFF, (p >> 16) & 0xFF], axis=-1
+        ).astype(jnp.float32) / 255.0
+
+    color = (
+        rgb(p00) * (1 - ry) * (1 - rx)
+        + rgb(p10) * ry * (1 - rx)
+        + rgb(p01) * (1 - ry) * rx
+        + rgb(p11) * ry * rx
+    )
+    return color, ok
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("proj", "ordered", "BH", "BW"),
@@ -208,9 +257,14 @@ def _blend_group(color_acc, w_acc, imgs, homo_invs, whs, item_idx, ranges,
                  origins, proj_min, resolution, proj: str, ordered: bool,
                  BH: int, BW: int):
     """One group of the streamed blend: scan the group's items (same math
-    as _blend_linear_bbox.step) into the donated canvas accumulators."""
+    as _blend_linear_bbox.step) into the donated canvas accumulators.
+
+    imgs: [N,H,W,3] f32 stack, or [N,H,W] int32 R|G|B|valid-packed
+    (pack_imgs_u8) for scalar-gather sampling."""
     _, proj2homo = PROJECTIONS[proj]
-    imgs = imgs.astype(jnp.float32)
+    packed = imgs.ndim == 3
+    if not packed:
+        imgs = imgs.astype(jnp.float32)
     t_h = jnp.arange(BH, dtype=jnp.float32)
     t_w = jnp.arange(BW, dtype=jnp.float32)
 
@@ -234,7 +288,10 @@ def _blend_group(color_acc, w_acc, imgs, homo_invs, whs, item_idx, ranges,
         zsafe = jnp.where(jnp.abs(z) > 1e-20, z, 1e-20)
         sx = ret[..., 0] / zsafe + wh[0] * 0.5
         sy = ret[..., 1] / zsafe + wh[1] * 0.5
-        color, ok = sample_bilinear(img, sy, sx)
+        if packed:
+            color, ok = _sample_bilinear_packed(img, sy, sx)
+        else:
+            color, ok = sample_bilinear(img, sy, sx)
         w = 0.5 - jnp.abs(sx / wh[0] - 0.5)
         if not ordered:  # blend both directions (blender.cc:33-35)
             w = w * (0.5 - jnp.abs(sy / wh[1] - 0.5))
@@ -277,7 +334,8 @@ def _strip_u8_i32(color_acc, w_acc, start, out_h: int, SW: int):
 
 
 def blend_linear_stream_u8(imgs: jnp.ndarray, plan: RenderPlan,
-                           ordered: bool, groups: int = 4) -> np.ndarray:
+                           ordered: bool, groups: int = 4,
+                           packed_gather: bool = False) -> np.ndarray:
     """Streamed linear blend straight to a host RGBA uint8 canvas.
 
     Items are sorted by bbox x-start and split into `groups` column bands;
@@ -286,6 +344,8 @@ def blend_linear_stream_u8(imgs: jnp.ndarray, plan: RenderPlan,
     its host copy starts (copy_to_host_async) while later bands still
     compute — hiding most of the slow tunnel download behind blend work."""
     it, r, BH, BW, Hp, Wp, ox, oy = _slab_layout(plan)
+    if packed_gather:
+        imgs = pack_imgs_u8(imgs)
 
     G = groups if len(it) >= 2 * groups else 1
     SW = -(-(-(-Wp // G)) // 128) * 128  # ceil(Wp/G) rounded up to 128

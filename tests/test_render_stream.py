@@ -46,3 +46,27 @@ def test_stream_blend_wraparound(rng):
     ref = np.asarray(_f32_to_u8_rgba(blend_linear(imgs, plan, ordered=True)))
     got = blend_linear_stream_u8(imgs, plan, ordered=True, groups=3)
     np.testing.assert_array_equal(got, ref)
+
+
+def test_packed_gather_blend_exact(rng):
+    # u8-derived images: packed-i32 sampling must match to 1 u8 LSB
+    import jax.numpy as jnp
+
+    n, H, W = 10, 48, 64
+    u8 = rng.integers(0, 256, (n, H, W, 3)).astype(np.uint8)
+    imgs = jnp.asarray(u8).astype(jnp.float32) / 255.0
+    _, plan = _sweep_plan(rng, n, H, W)
+    ref = np.asarray(_f32_to_u8_rgba(blend_linear(imgs, plan, ordered=False)))
+    got = np.asarray(_f32_to_u8_rgba(
+        blend_linear(imgs, plan, ordered=False, packed_gather=True)))
+
+    def close(a, b):
+        # separately-compiled graphs may contract FMAs differently: allow
+        # 1 u8 LSB on a vanishing fraction of pixels
+        d = np.abs(a.astype(int) - b.astype(int))
+        assert d.max() <= 1 and (d > 0).mean() < 1e-3
+
+    close(got, ref)
+    gs = blend_linear_stream_u8(imgs, plan, ordered=False, groups=3,
+                                packed_gather=True)
+    close(gs, ref)
