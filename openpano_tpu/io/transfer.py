@@ -35,7 +35,9 @@ def _undelta_rows(u8_2d):
 
 
 def _np_undelta_rows(d: np.ndarray) -> np.ndarray:
-    return np.cumsum(d.astype(np.int64), axis=1).astype(np.uint8)
+    from ..native import delta_decode_rows
+
+    return delta_decode_rows(d)
 
 
 def _delta_rows_shape(shape) -> tuple[int, int]:
@@ -63,11 +65,10 @@ def fetch_u8_delta(arr, chunks: int = _DEFAULT_CHUNKS) -> np.ndarray:
 def device_put_u8_delta(arr: np.ndarray, device=None):
     """Host->device upload of uint8 data via row-delta coding (inverse
     cumsum runs on device).  Returns a device array of the same shape."""
+    from ..native import delta_encode_rows
+
     shape = arr.shape
-    flat = arr.reshape(_delta_rows_shape(shape)).astype(np.int16)
-    d = np.concatenate(
-        [flat[:, :1], (flat[:, 1:] - flat[:, :-1]) & 0xFF], axis=1
-    ).astype(np.uint8)
+    d = delta_encode_rows(arr.reshape(_delta_rows_shape(shape)))
     dev = jax.device_put(d, device)
     return _undelta_rows(dev).reshape(shape)
 

@@ -16,7 +16,8 @@ import numpy as np
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libopenpano_native.so")
-_SOURCES = ["crop_largest_rect.c"]
+_SOURCES = ["crop_largest_rect.c", "delta_code.c", "png_codec.c"]
+_LIBS = ["-lz", "-lpthread"]
 
 _lock = threading.Lock()
 _lib = None
@@ -33,7 +34,7 @@ def _build() -> bool:
     for cc in ("cc", "gcc", "g++"):
         try:
             subprocess.run(
-                [cc, "-O3", "-shared", "-fPIC", "-o", _LIB_PATH] + srcs,
+                [cc, "-O3", "-shared", "-fPIC", "-o", _LIB_PATH] + srcs + _LIBS,
                 check=True, capture_output=True,
             )
             return True
@@ -57,6 +58,31 @@ def get_lib():
                     ctypes.POINTER(ctypes.c_int64),
                 ]
                 lib.largest_valid_rect.restype = None
+                for fn in (lib.delta_encode_rows, lib.delta_decode_rows):
+                    fn.argtypes = [
+                        ctypes.POINTER(ctypes.c_uint8),
+                        ctypes.POINTER(ctypes.c_uint8),
+                        ctypes.c_int64,
+                        ctypes.c_int64,
+                        ctypes.c_int,
+                    ]
+                    fn.restype = None
+                lib.png_decode_rgb8.argtypes = [
+                    ctypes.POINTER(ctypes.c_uint8),
+                    ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_int64),
+                    ctypes.POINTER(ctypes.c_int64),
+                ]
+                lib.png_decode_rgb8.restype = ctypes.c_void_p
+                lib.png_encode_rgb8.argtypes = [
+                    ctypes.POINTER(ctypes.c_uint8),
+                    ctypes.c_int64,
+                    ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_int64),
+                ]
+                lib.png_encode_rgb8.restype = ctypes.c_void_p
+                lib.pano_free.argtypes = [ctypes.c_void_p]
+                lib.pano_free.restype = None
                 _lib = lib
             else:
                 _load_failed = True
@@ -77,6 +103,96 @@ def largest_valid_rect(valid: np.ndarray) -> tuple[int, int, int, int]:
         )
         return int(out[0]), int(out[1]), int(out[2]), int(out[3])
     return _largest_valid_rect_py(valid)
+
+
+def _nthreads() -> int:
+    try:
+        return min(16, os.cpu_count() or 1)
+    except Exception:
+        return 1
+
+
+def delta_encode_rows(src: np.ndarray) -> np.ndarray:
+    """Row-wise horizontal delta (mod 256) of a 2-D uint8 plane.  Threaded
+    native pass; numpy fallback."""
+    src = np.ascontiguousarray(src, dtype=np.uint8)
+    rows, cols = src.shape
+    lib = get_lib()
+    if lib is not None:
+        dst = np.empty_like(src)
+        lib.delta_encode_rows(
+            src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            rows, cols, _nthreads(),
+        )
+        return dst
+    x = src.astype(np.int16)
+    return np.concatenate(
+        [x[:, :1], (x[:, 1:] - x[:, :-1]) & 0xFF], axis=1
+    ).astype(np.uint8)
+
+
+def delta_decode_rows(src: np.ndarray) -> np.ndarray:
+    """Inverse of delta_encode_rows (prefix sum mod 256 along rows)."""
+    src = np.ascontiguousarray(src, dtype=np.uint8)
+    rows, cols = src.shape
+    lib = get_lib()
+    if lib is not None:
+        dst = np.empty_like(src)
+        lib.delta_decode_rows(
+            src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            rows, cols, _nthreads(),
+        )
+        return dst
+    return np.cumsum(src.astype(np.int64), axis=1).astype(np.uint8)
+
+
+def png_decode_rgb8(data: bytes) -> np.ndarray | None:
+    """Decode a PNG byte buffer to uint8 RGB [H, W, 3].  None when the
+    native codec is unavailable or the file needs a fallback decoder
+    (16-bit / interlaced)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    buf = np.frombuffer(data, dtype=np.uint8)
+    w = ctypes.c_int64(0)
+    h = ctypes.c_int64(0)
+    ptr = lib.png_decode_rgb8(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), buf.size,
+        ctypes.byref(w), ctypes.byref(h),
+    )
+    if not ptr:
+        return None
+    try:
+        out = np.ctypeslib.as_array(
+            ctypes.cast(ptr, ctypes.POINTER(ctypes.c_uint8)),
+            shape=(h.value, w.value, 3),
+        ).copy()
+    finally:
+        lib.pano_free(ptr)
+    return out
+
+
+def png_encode_rgb8(rgb: np.ndarray) -> bytes | None:
+    """Encode uint8 RGB [H, W, 3] to PNG bytes (Sub filter + deflate).
+    None when the native codec is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
+    h, w = rgb.shape[:2]
+    out_len = ctypes.c_int64(0)
+    ptr = lib.png_encode_rgb8(
+        rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), w, h,
+        ctypes.byref(out_len),
+    )
+    if not ptr:
+        return None
+    try:
+        return ctypes.string_at(ptr, out_len.value)
+    finally:
+        lib.pano_free(ptr)
 
 
 def _largest_valid_rect_py(valid: np.ndarray) -> tuple[int, int, int, int]:

@@ -129,15 +129,17 @@ def stitch(imgs: np.ndarray, cfg: Config, key=None, output: str = "f32"):
     """
     if key is None:
         key = jax.random.PRNGKey(0)
-    if isinstance(imgs, np.ndarray) and imgs.dtype == np.uint8:
-        # row-delta coded upload: photo rows compress well in the transport
-        imgs = _u8_to_f32(device_put_u8_delta(imgs))
-    else:
-        imgs = jnp.asarray(imgs)
-        if imgs.dtype == jnp.uint8:
-            imgs = _u8_to_f32(imgs)
+    with total_timer("upload"):
+        if isinstance(imgs, np.ndarray) and imgs.dtype == np.uint8:
+            # row-delta coded upload: photo rows compress well in the transport
+            imgs = _u8_to_f32(device_put_u8_delta(imgs))
         else:
-            imgs = imgs.astype(jnp.float32)
+            imgs = jnp.asarray(imgs)
+            if imgs.dtype == jnp.uint8:
+                imgs = _u8_to_f32(imgs)
+            else:
+                imgs = imgs.astype(jnp.float32)
+        jax.block_until_ready(imgs)
     n, H, W = imgs.shape[0], imgs.shape[1], imgs.shape[2]
     mid = n >> 1                                  # assign_center, stitcher.cc:138-141
 
