@@ -20,12 +20,12 @@ import numpy as np
 
 from ..config import Config
 from ..geometry.dlt import perspective_dlt
-from ..io.transfer import device_put_u8_delta, fetch
+from ..io.transfer import fetch
 from ..geometry.ransac import MatchInfo, estimate_transform_batch
 from ..match.matcher import MatchResult, match_adjacent_pairs
 from ..ops.imgproc import sample_bilinear, INVALID
 from .render import plan_render, blend
-from .stitcherbase import compute_features
+from .stitcherbase import compute_features, upload_and_compute_features
 from .warp import make_projector, warp_keypoints, warp_image
 
 
@@ -55,13 +55,13 @@ def stitch_cylinder(imgs: np.ndarray, cfg: Config, key=None) -> np.ndarray:
     if key is None:
         key = jax.random.PRNGKey(0)
     if isinstance(imgs, np.ndarray) and imgs.dtype == np.uint8:
-        imgs = device_put_u8_delta(imgs).astype(jnp.float32) / 255.0
+        # pipelined path: delta-coded batch uploads overlap the SIFT compute
+        imgs, feats = upload_and_compute_features(imgs, cfg)
     else:
         imgs = jnp.asarray(imgs, jnp.float32)
+        feats = compute_features(imgs, cfg)
     n, H, W = imgs.shape[0], imgs.shape[1], imgs.shape[2]
     mid = n >> 1
-
-    feats = compute_features(imgs, cfg)
     matches = match_adjacent_pairs(feats.desc, feats.valid, cfg)  # [n-1] pairs
 
     # ---- h-factor straightening search (cylstitcher.cc:31-62) ----

@@ -21,11 +21,11 @@ from ..config import Config
 from ..camera.camera import estimate_focal, intrinsic
 from ..camera.estimator import estimate_cameras
 from ..geometry.ransac import estimate_transform_batch
-from ..io.transfer import device_put_u8_delta, fetch
+from ..io.transfer import fetch
 from ..match.matcher import match_all_pairs, match_ring_pairs, pair_indices
 from ..utils.timer import total_timer
 from .render import blend_linear_stream_u8, plan_render, blend
-from .stitcherbase import compute_features
+from .stitcherbase import compute_features, upload_and_compute_features
 
 
 class PairwiseGraph:
@@ -129,23 +129,25 @@ def stitch(imgs: np.ndarray, cfg: Config, key=None, output: str = "f32"):
     """
     if key is None:
         key = jax.random.PRNGKey(0)
-    with total_timer("upload"):
-        if isinstance(imgs, np.ndarray) and imgs.dtype == np.uint8:
-            # row-delta coded upload: photo rows compress well in the transport
-            imgs = _u8_to_f32(device_put_u8_delta(imgs))
-        else:
+    n, H, W = imgs.shape[0], imgs.shape[1], imgs.shape[2]
+    mid = n >> 1                                  # assign_center, stitcher.cc:138-141
+
+    if isinstance(imgs, np.ndarray) and imgs.dtype == np.uint8:
+        # pipelined path: delta-coded batch uploads overlap the SIFT compute
+        with total_timer("upload+calc_feature"):
+            imgs, feats = upload_and_compute_features(imgs, cfg)
+            jax.block_until_ready(feats)
+    else:
+        with total_timer("upload"):
             imgs = jnp.asarray(imgs)
             if imgs.dtype == jnp.uint8:
                 imgs = _u8_to_f32(imgs)
             else:
                 imgs = imgs.astype(jnp.float32)
-        jax.block_until_ready(imgs)
-    n, H, W = imgs.shape[0], imgs.shape[1], imgs.shape[2]
-    mid = n >> 1                                  # assign_center, stitcher.cc:138-141
-
-    with total_timer("calc_feature"):
-        feats = compute_features(imgs, cfg)
-        jax.block_until_ready(feats)
+            jax.block_until_ready(imgs)
+        with total_timer("calc_feature"):
+            feats = compute_features(imgs, cfg)
+            jax.block_until_ready(feats)
     whs = jnp.broadcast_to(jnp.asarray([W, H], jnp.float32), (n, 2))
     with total_timer("pairwise_match"):
         graph = build_pairwise_graph(

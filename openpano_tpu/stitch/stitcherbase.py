@@ -64,3 +64,60 @@ def compute_features(imgs: jnp.ndarray, cfg: Config) -> Features:
         if c == 0:  # stitcherbase.cc:20-21
             raise RuntimeError(f"Cannot find feature in image {i}!")
     return feats
+
+
+@jax.jit
+def _u8_to_f32(x):
+    return x.astype(jnp.float32) / 255.0
+
+
+def upload_and_compute_features(host_u8: np.ndarray, cfg: Config):
+    """Pipelined host->device upload + feature extraction.
+
+    host_u8: [N, H, W, 3] uint8 on host.  Uploads delta-coded batches and
+    dispatches each batch's SIFT while the next batch rides the wire — the
+    transfer of batch k+1 overlaps the feature compute of batch k (the TPU
+    analog of the reference's IO/compute overlap via per-thread lazy image
+    loads under OpenMP, stitcherbase.cc:14-19 + imageref.hh:22).
+
+    Returns (imgs_f32_device [N,H,W,3], Features).
+    """
+    from ..io.transfer import device_put_u8_delta
+
+    n, h, w = host_u8.shape[0], host_u8.shape[1], host_u8.shape[2]
+    wh_, ww_ = working_size(w, h, cfg.SIFT_WORKING_SIZE)
+
+    B = _FEATURE_BATCH
+    whs = jnp.broadcast_to(jnp.asarray([w, h], jnp.float32), (B, 2))
+    parts = []
+    feat_parts = []
+    nb = -(-n // B)
+    # issue upload k+1 before dispatching features on batch k so the wire
+    # transfer and the SIFT compute overlap
+    parts.append(_u8_to_f32(device_put_u8_delta(host_u8[:B])))
+    for k in range(nb):
+        if k + 1 < nb:
+            lo = (k + 1) * B
+            parts.append(_u8_to_f32(device_put_u8_delta(host_u8[lo : lo + B])))
+        batch = parts[k]
+        if batch.shape[0] < B:  # pad to keep one compiled executable
+            pad = B - batch.shape[0]
+            rep = jnp.broadcast_to(batch[:1], (pad,) + batch.shape[1:])
+            batch = jnp.concatenate([batch, rep], axis=0)
+        feat_parts.append(_feature_chunk(batch, whs[:B], cfg, wh_, ww_))
+
+    imgs = parts[0] if nb == 1 else jnp.concatenate(parts, axis=0)
+    feats = (
+        feat_parts[0]
+        if nb == 1
+        else jax.tree_util.tree_map(
+            lambda *c: jnp.concatenate(c, axis=0), *feat_parts
+        )
+    )
+    imgs = imgs[:n]
+    feats = jax.tree_util.tree_map(lambda x: x[:n], feats)
+    counts = np.asarray(jnp.sum(feats.valid, axis=1))
+    for i, c in enumerate(counts):
+        if c == 0:  # stitcherbase.cc:20-21
+            raise RuntimeError(f"Cannot find feature in image {i}!")
+    return imgs, feats

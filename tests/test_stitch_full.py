@@ -34,6 +34,21 @@ class TestEstimateCameraEndToEnd:
         assert cropped.size > 0 and (cropped >= 0).all()
         assert cropped.shape[1] > 2.0 * 320
 
+    def test_stitch_u8_pipelined_matches_f32(self):
+        """uint8 host input (the pipelined delta-coded upload path, with
+        n < feature-batch so the padded-chunk branch is exercised) agrees
+        with the plain f32 path."""
+        cfg = Config(ESTIMATE_CAMERA=True, ORDERED_INPUT=False, **SMALL)
+        scene = photo_scene()
+        views, _ = render_views(
+            scene, 5, out_w=320, out_h=240, hfov_deg=32, overlap=0.5
+        )
+        u8 = np.round(np.clip(views, 0, 1) * 255).astype(np.uint8)
+        out_f32 = stitch(u8.astype(np.float32) / 255.0, cfg)
+        out_u8, valid = stitch(u8, cfg, output="u8")
+        assert out_u8.shape[:2] == out_f32.shape[:2]
+        assert valid.mean() > 0.3
+
 
 class TestTransEndToEnd:
     def test_stitch_translation(self):
