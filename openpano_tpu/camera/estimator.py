@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import Config
+from ..utils.timer import total_timer
 from .bundle_adjuster import BAPairProblem, ba_optimize_pairs
 from .camera import CameraSet, estimate_focal, intrinsic, straighten
 from .rotation import GEO_EPS_SQR
@@ -182,7 +183,7 @@ def estimate_cameras(
         b = min(b, P)
         pw = np.zeros(b)
         pw[:n_active] = 1.0
-        with ba_ctx():
+        with ba_ctx(), total_timer(f"ba_lm[{b}]"):
             prob = BAPairProblem(
                 pt_to=jnp.asarray(pt_to_slab[:b]),
                 pt_from=jnp.asarray(pt_from_slab[:b]),

@@ -96,9 +96,10 @@ class Config:
     BA_ON_HOST: bool = True
     # Stream the u8 linear blend as column-band groups whose finalized
     # strips download (copy_to_host_async) while later bands compute.
-    # Wins only when device->host copies overlap compute on the attached
-    # runtime; off by default pending per-deployment measurement.
-    STREAM_BLEND: bool = False
+    # On the tunneled TPU the download overlap wins ~0.5 s on the headline
+    # 38-image blend and makes the stage robust to transport-bandwidth
+    # swings (tools/bench_transfer.py); on for the u8 output path.
+    STREAM_BLEND: bool = True
 
     @property
     def DESC_LEN(self) -> int:

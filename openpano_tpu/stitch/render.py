@@ -399,4 +399,7 @@ def blend(imgs: jnp.ndarray, plan: RenderPlan, ordered: bool, multiband: int) ->
         from .multiband import blend_multiband
 
         return blend_multiband(imgs, plan, multiband)
-    return blend_linear(imgs, plan, ordered)
+    import os
+
+    packed = os.environ.get("OPENPANO_PACKED_GATHER", "0") == "1"
+    return blend_linear(imgs, plan, ordered, packed_gather=packed)

@@ -177,12 +177,19 @@ def stitch(imgs: np.ndarray, cfg: Config, key=None, output: str = "f32"):
             rgba = blend_linear_stream_u8(imgs, plan, ordered=cfg.ORDERED_INPUT)
             result = (rgba[..., :3], rgba[..., 3] > 0)
         else:
-            canvas = blend(imgs, plan, ordered=cfg.ORDERED_INPUT, multiband=cfg.MULTIBAND)
-            if output == "u8":
-                rgba = fetch(_f32_to_u8_rgba(canvas))    # ONE device->host copy
-                result = (rgba[..., :3], rgba[..., 3] > 0)
-            else:
-                result = fetch(canvas)
+            with total_timer("blend_compute"):
+                canvas = blend(imgs, plan, ordered=cfg.ORDERED_INPUT,
+                               multiband=cfg.MULTIBAND)
+                jax.block_until_ready(canvas)
+            with total_timer("blend_fetch"):
+                if output == "u8":
+                    # ONE device->host copy; the transport is byte-limited
+                    # on downloads (tools/bench_transfer.py), so plain
+                    # i32-bitcast chunked fetch is the fastest option
+                    rgba = fetch(_f32_to_u8_rgba(canvas))
+                    result = (rgba[..., :3], rgba[..., 3] > 0)
+                else:
+                    result = fetch(canvas)
     return result
 
 
@@ -206,6 +213,8 @@ def _f32_to_u8_rgba(canvas):
     u8 = jnp.round(jnp.clip(canvas, 0.0, 1.0) * 255.0).astype(jnp.uint8)
     rgb = jnp.where(valid[..., None], u8, 255)
     return jnp.concatenate([rgb, valid[..., None].astype(jnp.uint8)], axis=-1)
+
+
 
 
 def _build_linear_simple(graph: PairwiseGraph, n: int, mid: int,
