@@ -47,6 +47,10 @@ class RenderPlan(NamedTuple):
     items: np.ndarray        # [M,5] (img, x0,y0,x1,y1) render items — images
                              # whose angular span crosses the +-pi wrap are
                              # split into one item per canvas-edge strip
+    hulls: tuple             # per-item convex hull of the projected border
+                             # in canvas px, [K,2] float arrays — lets the
+                             # blenders skip canvas tiles an item's bbox
+                             # covers but its projected outline never touches
 
 
 def _np_homo2proj(proj: str, h: np.ndarray) -> np.ndarray:
@@ -109,7 +113,10 @@ def plan_render(homos: np.ndarray, whs: np.ndarray, identity_idx: int,
         resolution = resolution * (max_edge / max_output_size)
     size = ((proj_max - proj_min) / resolution).astype(int)
 
+    from ..geometry.polygon import convex_hull
+
     items = []
+    hulls = []
     for i in range(n):
         tl = ((per_min[i] - proj_min) / resolution).astype(int)
         br = ((per_max[i] - proj_min) / resolution).astype(int)
@@ -130,8 +137,10 @@ def plan_render(homos: np.ndarray, whs: np.ndarray, identity_idx: int,
                 sbr = ((smax - proj_min) / resolution).astype(int)
                 items.append([i, stl[0], stl[1],
                               min(sbr[0], size[0]), min(sbr[1], size[1])])
+                hulls.append(convex_hull((pp[sel] - proj_min) / resolution))
         else:
             items.append([i, *ranges[i].astype(int)])
+            hulls.append(convex_hull((pp - proj_min) / resolution))
 
     return RenderPlan(
         proj=proj,
@@ -144,6 +153,7 @@ def plan_render(homos: np.ndarray, whs: np.ndarray, identity_idx: int,
         out_h=int(size[1]),
         ranges=ranges.astype(np.int32),
         items=np.asarray(items, np.int32).reshape(-1, 5),
+        hulls=tuple(hulls),
     )
 
 
@@ -157,18 +167,95 @@ def _finalize_canvas(color_acc, w_acc, out_h: int, out_w: int):
     return jnp.where(has[..., None], out, INVALID)
 
 
-def _slab_layout(plan: RenderPlan):
-    """Static slab geometry for the bbox blenders: per-item max bbox (BH,
-    BW), padded canvas (Hp, Wp), and clamped per-item slab origins."""
+# blender tile geometry: each render item's bbox is covered by fixed-size
+# [TH, TW] tile jobs instead of one max-bbox slab — per-item bboxes vary ~2x
+# on a spherical pano, so uniform slabs nearly double the gather work
+_TILE_H = 128
+_TILE_W = 384
+
+
+def _poly_rect_intersects(poly: np.ndarray, x0, y0, x1, y1, margin=8.0) -> bool:
+    """Convex polygon vs axis-aligned rect (SAT).  The rect is dilated by
+    ``margin`` px to absorb the sagitta of the sampled-border hull."""
+    x0, y0, x1, y1 = x0 - margin, y0 - margin, x1 + margin, y1 + margin
+    if poly.shape[0] < 3:
+        px0, py0 = poly.min(0)
+        px1, py1 = poly.max(0)
+        return not (px1 < x0 or px0 > x1 or py1 < y0 or py0 > y1)
+    # axis-aligned separators
+    if poly[:, 0].max() < x0 or poly[:, 0].min() > x1:
+        return False
+    if poly[:, 1].max() < y0 or poly[:, 1].min() > y1:
+        return False
+    # polygon-edge separators
+    corners = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]])
+    nv = poly.shape[0]
+    edges = poly[(np.arange(nv) + 1) % nv] - poly
+    normals = np.stack([-edges[:, 1], edges[:, 0]], -1)       # [E,2]
+    pp = normals @ poly.T                                     # [E,V]
+    pc = normals @ corners.T                                  # [E,4]
+    sep = (pp.max(1) < pc.min(1)) | (pp.min(1) > pc.max(1))
+    return not sep.any()
+
+
+def _tile_jobs(plan: RenderPlan, groups: int, TH: int = _TILE_H,
+               TW: int = _TILE_W):
+    """Flat list of [TH, TW] tile jobs covering every item's bbox, skipping
+    tiles the item's projected hull never touches, partitioned into
+    ``groups`` column bands (band = tile x-origin // SW; a band-g job never
+    writes columns < g*SW, so strip g is final once bands <= g are done).
+
+    Returns (G, SW, Hp, Wp, band_jobs) where band_jobs[g] is
+    (idx [J], rng [J,4] f32 true bboxes, org [J,2] i32 tile origins)."""
     it = plan.items
     r = it[:, 1:5]
-    BH = -(-int(max(1, (r[:, 3] - r[:, 1]).max())) // 8) * 8
-    BW = -(-int(max(1, (r[:, 2] - r[:, 0]).max())) // 128) * 128
-    Hp = -(-plan.out_h // 8) * 8 + BH
-    Wp = -(-plan.out_w // 128) * 128 + BW
-    oy = np.clip(r[:, 1], 0, -(-plan.out_h // 8) * 8)
-    ox = np.clip(r[:, 0], 0, -(-plan.out_w // 128) * 128)
-    return it, r, BH, BW, Hp, Wp, ox, oy
+    oy_max = -(-plan.out_h // 8) * 8
+    ox_max = -(-plan.out_w // 128) * 128
+    Hp = oy_max + TH
+    Wp = ox_max + TW
+
+    G = groups if len(it) >= 2 * groups else 1
+    SW = -(-(-(-Wp // G)) // 128) * 128  # ceil(Wp/G) rounded up to 128
+    while (G - 1) * SW >= Wp:  # last strip must be non-empty
+        G -= 1
+    Wp = G * SW  # pad so every strip slice stays in bounds
+
+    jobs_i: list[list[int]] = [[] for _ in range(G)]
+    jobs_r: list[list[np.ndarray]] = [[] for _ in range(G)]
+    jobs_o: list[list[tuple[int, int]]] = [[] for _ in range(G)]
+    for s in range(len(it)):
+        x0, y0, x1, y1 = r[s]
+        hull = plan.hulls[s] if plan.hulls else None
+        ys = range(max(int(y0), 0), max(int(min(y1, plan.out_h)), 0), TH)
+        xs = range(max(int(x0), 0), max(int(min(x1, plan.out_w)), 0), TW)
+        for oy in ys:
+            oy = min(oy, oy_max)
+            for ox in xs:
+                ox = min(ox, ox_max)
+                if hull is not None and not _poly_rect_intersects(
+                    hull, ox, oy, ox + TW, oy + TH
+                ):
+                    continue
+                g = min(ox // SW, G - 1)
+                jobs_i[g].append(it[s, 0])
+                jobs_r[g].append(r[s])
+                jobs_o[g].append((ox, oy))
+
+    band_jobs = []
+    for g in range(G):
+        if jobs_i[g]:
+            band_jobs.append((
+                np.asarray(jobs_i[g], np.int32),
+                np.asarray(jobs_r[g], np.float32),
+                np.asarray(jobs_o[g], np.int32),
+            ))
+        else:
+            band_jobs.append((
+                np.zeros(0, np.int32),
+                np.zeros((0, 4), np.float32),
+                np.zeros((0, 2), np.int32),
+            ))
+    return G, SW, Hp, Wp, band_jobs
 
 
 def blend_linear(imgs: jnp.ndarray, plan: RenderPlan, ordered: bool,
@@ -177,27 +264,30 @@ def blend_linear(imgs: jnp.ndarray, plan: RenderPlan, ordered: bool,
     each image's (whs) extent.  Returns the blended [out_h, out_w, 3] canvas
     with INVALID where nothing was rendered.
 
-    One scan step per render item (an image, or one edge strip of a
-    wrap-straddling image) renders its projected bbox region (a [BH, BW]
-    slab at a per-item origin) and accumulates into the canvas — work
-    scales with covered area, in ~N large steps (best MXU/VPU utilization
-    per dispatch)."""
-    it, r, BH, BW, Hp, Wp, ox, oy = _slab_layout(plan)
+    One scan step per [TH, TW] tile job (fixed-size tiles covering each
+    item's bbox, hull-filtered — see _tile_jobs) accumulates into the
+    canvas; work scales with actually-covered area rather than the max
+    bbox, ~2x less gather traffic on a spherical pano.  Jobs run in the
+    same band-major order as the streamed blender, keeping the two paths
+    bit-identical."""
+    G, SW, Hp, Wp, band_jobs = _tile_jobs(plan, groups=4)
     if packed_gather:
         imgs = pack_imgs_u8(imgs)
-    origins = np.stack([ox, oy], axis=-1).astype(np.int32)
+    idx = np.concatenate([b[0] for b in band_jobs])
+    rng = np.concatenate([b[1] for b in band_jobs])
+    org = np.concatenate([b[2] for b in band_jobs])
     color_acc = jnp.zeros((Hp, Wp, 3), jnp.float32)
     w_acc = jnp.zeros((Hp, Wp), jnp.float32)
     color_acc, w_acc = _blend_group(
         color_acc, w_acc, imgs,
         jnp.asarray(plan.homo_invs),
         jnp.asarray(plan.whs, jnp.float32),
-        jnp.asarray(it[:, 0]),
-        jnp.asarray(r, jnp.float32),
-        jnp.asarray(origins),
+        jnp.asarray(idx),
+        jnp.asarray(rng),
+        jnp.asarray(org),
         jnp.asarray(plan.proj_min, jnp.float32),
         jnp.asarray(plan.resolution, jnp.float32),
-        plan.proj, ordered, BH, BW,
+        plan.proj, ordered, _TILE_H, _TILE_W,
     )
     return _finalize_canvas(color_acc, w_acc, plan.out_h, plan.out_w)
 
@@ -343,28 +433,20 @@ def blend_linear_stream_u8(imgs: jnp.ndarray, plan: RenderPlan,
     touched again, so that strip is normalized + u8-packed on device and
     its host copy starts (copy_to_host_async) while later bands still
     compute — hiding most of the slow tunnel download behind blend work."""
-    it, r, BH, BW, Hp, Wp, ox, oy = _slab_layout(plan)
+    G, SW, Hp, Wp, band_jobs = _tile_jobs(plan, groups=groups)
     if packed_gather:
         imgs = pack_imgs_u8(imgs)
 
-    G = groups if len(it) >= 2 * groups else 1
-    SW = -(-(-(-Wp // G)) // 128) * 128  # ceil(Wp/G) rounded up to 128
-    while (G - 1) * SW >= Wp:  # last strip must be non-empty
-        G -= 1
-    Wp = G * SW  # pad so every strip slice stays in bounds
-    gid = np.minimum(ox // SW, G - 1)
-
-    # fixed per-group item capacity; dummies have empty bboxes (no-ops)
-    IC = max(int(np.bincount(gid, minlength=G).max()), 1)
+    # fixed per-group job capacity keeps one compiled _blend_group shape;
+    # dummies have empty bboxes (fully masked no-ops)
+    IC = max(max(len(b[0]) for b in band_jobs), 1)
     g_idx = np.zeros((G, IC), np.int32)
     g_rng = np.zeros((G, IC, 4), np.float32)
     g_org = np.zeros((G, IC, 2), np.int32)
-    for g in range(G):
-        sel = np.flatnonzero(gid == g)
-        g_idx[g, : len(sel)] = it[sel, 0]
-        g_rng[g, : len(sel)] = r[sel]
-        g_org[g, : len(sel), 0] = ox[sel]
-        g_org[g, : len(sel), 1] = oy[sel]
+    for g, (bi, br, bo) in enumerate(band_jobs):
+        g_idx[g, : len(bi)] = bi
+        g_rng[g, : len(bi)] = br
+        g_org[g, : len(bi)] = bo
 
     color_acc = jnp.zeros((Hp, Wp, 3), jnp.float32)
     w_acc = jnp.zeros((Hp, Wp), jnp.float32)
@@ -379,7 +461,7 @@ def blend_linear_stream_u8(imgs: jnp.ndarray, plan: RenderPlan,
             color_acc, w_acc, imgs, homo_invs, whs,
             jnp.asarray(g_idx[g]), jnp.asarray(g_rng[g]),
             jnp.asarray(g_org[g]), proj_min, resolution,
-            plan.proj, ordered, BH, BW,
+            plan.proj, ordered, _TILE_H, _TILE_W,
         )
         strip = _strip_u8_i32(
             color_acc, w_acc, jnp.int32(g * SW), plan.out_h, SW
