@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import contextlib
 import heapq
+import os
 
 import jax
 import jax.numpy as jnp
@@ -147,6 +148,10 @@ def estimate_cameras(
     counts = [int(valid[a, b].sum()) for (a, b), _ in activation]
     M = max(max(counts, default=1), 1)
     M = -(-M // 64) * 64                          # bucket M: multiples of 64
+    if os.environ.get("OPENPANO_BA_DEBUG"):
+        c = np.sort(counts)[::-1]
+        print(f"[ba] P={P} M={M} counts max/p90/med/mean="
+              f"{c[0]}/{c[len(c)//10]}/{c[len(c)//2]}/{np.mean(c):.0f}")
     pt_to_slab = np.zeros((P, M, 2))
     pt_from_slab = np.zeros((P, M, 2))
     w_slab = np.zeros((P, M))

@@ -170,8 +170,14 @@ def _finalize_canvas(color_acc, w_acc, out_h: int, out_w: int):
 # blender tile geometry: each render item's bbox is covered by fixed-size
 # [TH, TW] tile jobs instead of one max-bbox slab — per-item bboxes vary ~2x
 # on a spherical pano, so uniform slabs nearly double the gather work
-_TILE_H = 128
-_TILE_W = 384
+import os as _os
+
+# 256x256 won a sweep over {64..384}x{128..768} on the v5e headline
+# workload (tools/profile_stitch.py; blend 2.16 s vs 2.7-2.8 s at the
+# extremes) — big enough to amortize scan-step overhead, small enough to
+# keep bbox-edge overdraw ~15%
+_TILE_H = int(_os.environ.get("OPENPANO_TILE_H", "256"))
+_TILE_W = int(_os.environ.get("OPENPANO_TILE_W", "256"))
 
 
 def _poly_rect_intersects(poly: np.ndarray, x0, y0, x1, y1, margin=8.0) -> bool:
