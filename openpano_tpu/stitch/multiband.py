@@ -12,11 +12,18 @@ Reference: stitch/multiband.{hh,cc}.
      (cur-next)*w normalized per level, last level accumulates cur*w
      (multiband.cc:75-108); final clamp to [0,1] (multiband.cc:113-121).
 
-TPU-native: per-image RoI planes live in one fixed-shape [N,Rh,Rw,4] buffer
-(Rh/Rw = max bbox over images, zero-padded — padding behaves exactly like
-the reference's in-RoI invalid pixels).  Sampling/blur/weights are batched
-over images; canvas scatter uses dynamic_update_slice accumulation.  The
-validity mask is the *first-level* mask at every level, as in the reference.
+TPU-native: RoI planes are built per *render item* (a wrap-straddling
+image contributes one item per canvas-edge strip, matching the linear
+blender — per-image bboxes would span the whole canvas and explode the
+uniform plane size).  Planes live in one fixed-shape [M,Rh,Rw,4] buffer
+(Rh/Rw = max item bbox, zero-padded — padding behaves exactly like the
+reference's in-RoI invalid pixels; the first level is built sequentially
+to avoid gathering an [M,H,W,3] image copy).  Validity at every level is
+the *first-level* w>0 mask, as in the reference.  One deliberate
+deviation: a wrap-split image's two strips blur independently, so the
++-pi seam column lacks the reference's cross-seam blur support (the
+reference never wraps — it shifts negative angular ranges instead,
+stitcher_image.cc:93-98).
 """
 
 from __future__ import annotations
@@ -36,18 +43,24 @@ EPS = 1e-6
 
 
 def _roi_sizes(plan: RenderPlan) -> tuple[int, int]:
-    r = plan.ranges
-    return int((r[:, 3] - r[:, 1]).max()), int((r[:, 2] - r[:, 0]).max())
+    r = plan.items[:, 1:5]
+    rh = int(np.maximum(r[:, 3] - r[:, 1], 1).max())
+    rw = int(np.maximum(r[:, 2] - r[:, 0], 1).max())
+    return -(-rh // 8) * 8, -(-rw // 128) * 128
 
 
 @functools.partial(jax.jit, static_argnames=("proj", "rh", "rw"))
-def _first_level(imgs, homo_invs, whs, ranges, proj_min, resolution,
+def _first_level(imgs, homo_invs, whs, item_idx, ranges, proj_min, resolution,
                  proj: str, rh: int, rw: int):
-    """[N,Rh,Rw,4] (RGB+w) planes + [N,Rh,Rw] validity masks."""
+    """[M,Rh,Rw,4] (RGB + w) planes; w=0 marks invalid/padding pixels."""
     _, proj2homo = PROJECTIONS[proj]
     imgs = imgs.astype(jnp.float32)
 
-    def one(img, Hinv, wh, rng):
+    def one(args):
+        idx, rng = args
+        img = imgs[idx]
+        Hinv = homo_invs[idx]
+        wh = whs[idx]
         x0, y0 = rng[0], rng[1]
         jj = (jnp.arange(rw) + x0).astype(jnp.float32)
         ii = (jnp.arange(rh) + y0).astype(jnp.float32)
@@ -76,15 +89,17 @@ def _first_level(imgs, homo_invs, whs, ranges, proj_min, resolution,
         )
         w = jnp.where(valid, w, 0.0)
         color = jnp.where(valid[..., None], color, 0.0)  # BLACK, not NO
-        return jnp.concatenate([color, w[..., None]], -1), valid
+        return jnp.concatenate([color, w[..., None]], -1)
 
-    return jax.vmap(one)(imgs, homo_invs, whs, ranges)
+    # sequential over items: peak memory is one [Rh,Rw,4] plane + the
+    # output buffer, not an [M,H,W,3] gathered image copy
+    return jax.lax.map(one, (item_idx, ranges))
 
 
 @functools.partial(jax.jit, static_argnames=("out_h", "out_w"))
 def _winner_take_all(planes, ranges, out_h: int, out_w: int):
     """Max-weight seam (multiband.cc:125-143): per canvas pixel, w=1 for the
-    first image attaining the max weight, 0 for the rest."""
+    first item attaining the max weight, 0 for the rest."""
     n, rh, rw = planes.shape[0], planes.shape[1], planes.shape[2]
 
     def scatter_max(i, maxw):
@@ -97,7 +112,7 @@ def _winner_take_all(planes, ranges, out_h: int, out_w: int):
         0, n, scatter_max, jnp.zeros((out_h + rh, out_w + rw), jnp.float32)
     )
 
-    # first-attainer tie-break: among images with w == maxw, smallest index
+    # first-attainer tie-break: among items with w == maxw, smallest index
     def find_winner(i, winner):
         x0, y0 = ranges[i, 0], ranges[i, 1]
         region = jax.lax.dynamic_slice(winner, (y0, x0), (rh, rw))
@@ -112,13 +127,13 @@ def _winner_take_all(planes, ranges, out_h: int, out_w: int):
         jnp.full((out_h + rh, out_w + rw), n, jnp.int32),
     )
 
-    def read_back(i):
+    def read_back(i, pl):
         x0, y0 = ranges[i, 0], ranges[i, 1]
         region = jax.lax.dynamic_slice(winner, (y0, x0), (rh, rw))
-        return (region == i).astype(jnp.float32)
+        won = (region == i) & (planes[i, :, :, 3] > 0)
+        return pl.at[i, :, :, 3].set(won.astype(jnp.float32))
 
-    new_w = jax.vmap(read_back)(jnp.arange(n))
-    return planes.at[..., 3].set(new_w * (planes[..., 3] > 0))
+    return jax.lax.fori_loop(0, n, read_back, planes)
 
 
 @functools.partial(jax.jit, static_argnames=("out_h", "out_w", "is_last"))
@@ -161,15 +176,16 @@ def blend_multiband(imgs: jnp.ndarray, plan: RenderPlan, band_level: int) -> jnp
     """Full multiband run (multiband.cc:59-123).  imgs: [N,Hp,Wp,3] padded
     with INVALID; returns [out_h,out_w,3] canvas with INVALID where empty."""
     rh, rw = _roi_sizes(plan)
-    ranges = jnp.asarray(plan.ranges)
-    planes, valid = _first_level(
+    item_idx = jnp.asarray(plan.items[:, 0])
+    ranges = jnp.asarray(plan.items[:, 1:5])
+    planes = _first_level(
         imgs, jnp.asarray(plan.homo_invs), jnp.asarray(plan.whs, jnp.float32),
-        ranges, jnp.asarray(plan.proj_min, jnp.float32),
+        item_idx, ranges, jnp.asarray(plan.proj_min, jnp.float32),
         jnp.asarray(plan.resolution, jnp.float32),
         plan.proj, rh, rw,
     )
+    valid_f = (planes[..., 3] > 0).astype(jnp.float32)
     planes = _winner_take_all(planes, ranges, plan.out_h, plan.out_w)
-    valid_f = valid.astype(jnp.float32)
 
     target = jnp.zeros((plan.out_h, plan.out_w, 3), jnp.float32)
     visited = jnp.zeros((plan.out_h, plan.out_w), bool)

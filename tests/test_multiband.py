@@ -55,9 +55,10 @@ class TestMultiband:
     def test_winner_take_all_unique(self):
         img, plan = _two_image_plan(shift=48)
         stack = jnp.asarray(np.stack([img, img]))
-        planes, valid = _first_level(
+        planes = _first_level(
             stack, jnp.asarray(plan.homo_invs),
-            jnp.asarray(plan.whs, jnp.float32), jnp.asarray(plan.ranges),
+            jnp.asarray(plan.whs, jnp.float32),
+            jnp.asarray(plan.items[:, 0]), jnp.asarray(plan.items[:, 1:5]),
             jnp.asarray(plan.proj_min, jnp.float32),
             jnp.asarray(plan.resolution, jnp.float32),
             plan.proj, 64, 96,
