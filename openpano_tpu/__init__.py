@@ -27,4 +27,58 @@ if not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
 from .config import Config, DEFAULT  # noqa: E402
 
 __version__ = "0.1.0"
-__all__ = ["Config", "DEFAULT", "__version__"]
+__all__ = ["Config", "DEFAULT", "stitch", "stitch_files", "__version__"]
+
+
+def stitch(imgs, cfg: Config | None = None, key=None, output: str = "f32"):
+    """Stitch a [N, H, W, 3] image stack (uint8 or float32 in [0,1]).
+
+    Dispatches on cfg mode like the reference's work() (main.cc:205-235):
+    CYLINDER -> CylinderStitcher, otherwise the general Stitcher.  Returns
+    the blended canvas; with output="u8" returns (canvas_u8, valid_mask).
+    """
+    cfg = cfg or DEFAULT
+    if cfg.CYLINDER:
+        from .stitch.cylstitcher import stitch_cylinder
+
+        canvas = stitch_cylinder(imgs, cfg, key)
+        if output == "u8":
+            import numpy as np
+
+            valid = np.asarray(canvas[..., 0] >= 0)
+            u8 = np.round(np.clip(canvas, 0, 1) * 255).astype("uint8")
+            return np.where(valid[..., None], u8, np.uint8(255)), valid
+        return canvas
+    from .stitch.stitcher import stitch as _stitch
+
+    return _stitch(imgs, cfg, key, output=output)
+
+
+def stitch_files(paths, cfg: Config | None = None, out: str | None = None,
+                 key=None, crop: bool | None = None):
+    """Stitch image files into a panorama; optionally write it to ``out``.
+
+    The one-call API a reference CLI user expects: decodes (native PNG
+    codec / PIL), stitches in the configured mode, crops to the largest
+    valid rectangle (cfg.CROP unless overridden), writes ``out`` if given,
+    and returns the uint8 RGB canvas.
+    """
+    import numpy as np
+
+    from .io.image import read_img_u8, write_rgb
+
+    cfg = cfg or DEFAULT
+    imgs = [read_img_u8(p) for p in paths]
+    shapes = {im.shape for im in imgs}
+    if len(shapes) != 1:
+        raise ValueError(
+            f"all inputs must share one shape (batched TPU path); got {sorted(shapes)}"
+        )
+    canvas, valid = stitch(np.stack(imgs), cfg, key=key, output="u8")
+    if crop if crop is not None else cfg.CROP:
+        from .ops.imgproc import crop_with_mask
+
+        canvas = crop_with_mask(canvas, valid)
+    if out:
+        write_rgb(out, canvas)
+    return canvas

@@ -65,27 +65,32 @@ def build_pairwise_graph(feats, whs, cfg: Config, key, ordered: bool,
     """Match + RANSAC over all C(n,2) pairs (or the ordered ring) in two
     batched device calls."""
     n = feats.desc.shape[0]
-    if ordered:
-        # (i, i+1) ring including the head-tail wrap pair, which is allowed
-        # to fail (linear_pairwise_match, stitcher.cc:116-136)
-        ii = list(range(n))
-        jj = [(i + 1) % n for i in ii]
-        res = match_ring_pairs(feats.desc, feats.valid, cfg)
-    else:
-        ii, jj = pair_indices(n)
-        res = match_all_pairs(feats.desc, feats.valid, cfg)
+    with total_timer("match_2nn"):
+        if ordered:
+            # (i, i+1) ring including the head-tail wrap pair, which is
+            # allowed to fail (linear_pairwise_match, stitcher.cc:116-136)
+            ii = list(range(n))
+            jj = [(i + 1) % n for i in ii]
+            res = match_ring_pairs(feats.desc, feats.valid, cfg)
+        else:
+            ii, jj = pair_indices(n)
+            res = match_all_pairs(feats.desc, feats.valid, cfg)
+        jax.block_until_ready(res)
 
-    infos = estimate_transform_batch(
-        res, feats.pos, feats.valid, whs,
-        jnp.asarray(ii), jnp.asarray(jj), key, cfg, affine,
-    )
+    with total_timer("ransac"):
+        infos = estimate_transform_batch(
+            res, feats.pos, feats.valid, whs,
+            jnp.asarray(ii), jnp.asarray(jj), key, cfg, affine,
+        )
+        small, big = _pack_infos(infos)
+        jax.block_until_ready(big)
     # downloads over a remote-attached device pay ~40 ms fixed + ~20 ms/MB:
     # pack the pytree into two buffers (small f64 geometry + big f32 point
     # data — coords are exactly representable in f32) instead of per-leaf
     # transfers
-    small, big = _pack_infos(infos)
-    small = np.asarray(small)
-    big = np.asarray(big)
+    with total_timer("match_fetch"):
+        small = np.asarray(small)
+        big = fetch(big)
     P, M = infos.valid.shape
     homo = small[:, :9].reshape(P, 3, 3)
     conf = small[:, 9]
