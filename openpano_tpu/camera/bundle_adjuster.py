@@ -315,9 +315,43 @@ def _normal_equations(params, residuals, prob: BAProblem, n_cam):
     return _eff_normal_equations(params, residuals, _effective(prob), n_cam)
 
 
-@functools.partial(jax.jit, static_argnames=("n_cam", "lm_lambda"))
+def solve_sym_refined(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """TPU-safe f64 solve of the damped normal equations.
+
+    XLA on TPU implements LuDecomposition only for f32/c64, so a direct
+    f64 `jnp.linalg.solve` cannot lower there.  The damped JtJ is symmetric
+    positive definite but badly scaled (focal^2 vs rotation entries), so:
+    Jacobi-scale in f64 (unit diagonal), LU-factor once in f32, then three
+    f64 iterative-refinement steps — recovers ~f64 accuracy for the
+    conditioned system (SURVEY.md §7 "f32 with iterative refinement for
+    the solve while keeping f64 residuals")."""
+    d = jnp.sqrt(jnp.maximum(jnp.abs(jnp.diagonal(A)), 1e-30))
+    As = A / d[:, None] / d[None, :]
+    bs = b / d
+    lu, piv = jax.scipy.linalg.lu_factor(As.astype(jnp.float32))
+
+    def f32_solve(r):
+        return jax.scipy.linalg.lu_solve((lu, piv), r.astype(jnp.float32)
+                                         ).astype(As.dtype)
+
+    x = f32_solve(bs)
+    for _ in range(3):
+        x = x + f32_solve(bs - As @ x)
+    return x / d
+
+
+def _lm_solve(A, rhs, device_solver: bool):
+    if device_solver:
+        return solve_sym_refined(A, rhs)
+    return jnp.linalg.solve(A, rhs[:, None])[:, 0]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_cam", "lm_lambda", "device_solver")
+)
 def ba_optimize(params: jnp.ndarray, prob: BAProblem, identity_idx: jnp.ndarray,
-                n_cam: int, lm_lambda: float) -> jnp.ndarray:
+                n_cam: int, lm_lambda: float,
+                device_solver: bool = False) -> jnp.ndarray:
     """Run the LM loop (optimize(), .cc:117-168).  params: [n,6] float64
     rows (focal, ppx, ppy, rx, ry, rz); returns optimized params."""
     dtype = params.dtype
@@ -344,7 +378,7 @@ def ba_optimize(params: jnp.ndarray, prob: BAProblem, identity_idx: jnp.ndarray,
             best_flat.reshape(n_cam, 6), resid, eff, n_cam
         )
         A = JtJ + jnp.diag(damp)
-        delta = jnp.linalg.solve(A, Jtb[:, None])[:, 0]
+        delta = _lm_solve(A, Jtb, device_solver)
         new_flat = best_flat - delta * upd_mask
         new_r = _eff_residuals(new_flat.reshape(n_cam, 6), eff)
         new_err = _rms_w(new_r, eff.w)
@@ -403,9 +437,23 @@ def _pairs_residuals(params, prob: BAPairProblem):
     return r * wm[..., None], wm
 
 
+import os as _os
+
+# experiment toggle: accumulate the normal equations in f32 (the solve and
+# residual/RMS path stay f64).  Saves ~2x on the host einsums but perturbs
+# the LM trajectory; off by default pending a parity study.
+_NE_F32 = _os.environ.get("OPENPANO_BA_NE_F32", "0") == "1"
+
+
 def _pairs_normal_equations(params, resid_w, prob: BAPairProblem, n_cam):
     """JtJ [6n,6n], Jtb [6n] — per-pair blocks via batched matmul."""
+    out_dtype = params.dtype
     pt_to, _, wm, F, Tc = _pairs_eff(prob)
+    if _NE_F32:
+        params = params.astype(jnp.float32)
+        pt_to = pt_to.astype(jnp.float32)
+        wm = wm.astype(jnp.float32)
+        resid_w = resid_w.astype(jnp.float32)
     H, dH = _rows_H_dH(params, F, Tc)
     ph = jnp.concatenate([pt_to, jnp.ones_like(pt_to[..., :1])], -1)
     u = jnp.einsum("pij,pmj->pmi", H, ph)
@@ -422,22 +470,26 @@ def _pairs_normal_equations(params, resid_w, prob: BAPairProblem, n_cam):
 
     P, M = wm.shape
     Jf = Jp.reshape(P, M * 2, 12)
-    Bp = jnp.einsum("pti,ptj->pij", Jf, Jf)              # [P,12,12] (MXU/BLAS)
-    bp = jnp.einsum("pti,pt->pi", Jf, resid_w.reshape(P, M * 2))
+    rw = resid_w.reshape(P, M * 2)
+    Bp = jnp.einsum("pti,ptj->pij", Jf, Jf).astype(out_dtype)  # [P,12,12]
+    bp = jnp.einsum("pti,pt->pi", Jf, rw).astype(out_dtype)
 
     n6 = n_cam * 6
     offs = jnp.arange(6)
     rows = jnp.concatenate([F[:, None] * 6 + offs, Tc[:, None] * 6 + offs], 1)
-    JtJ = jnp.zeros((n6, n6), params.dtype)
+    JtJ = jnp.zeros((n6, n6), out_dtype)
     JtJ = JtJ.at[rows[:, :, None], rows[:, None, :]].add(Bp)
-    Jtb = jnp.zeros((n6,), params.dtype).at[rows].add(bp)
+    Jtb = jnp.zeros((n6,), out_dtype).at[rows].add(bp)
     return JtJ, Jtb
 
 
-@functools.partial(jax.jit, static_argnames=("n_cam", "lm_lambda"))
+@functools.partial(
+    jax.jit, static_argnames=("n_cam", "lm_lambda", "device_solver")
+)
 def ba_optimize_pairs(params: jnp.ndarray, prob: BAPairProblem,
                       identity_idx: jnp.ndarray, n_cam: int,
-                      lm_lambda: float) -> jnp.ndarray:
+                      lm_lambda: float,
+                      device_solver: bool = False) -> jnp.ndarray:
     """LM loop (optimize(), .cc:117-168) over a pair-major problem.  Same
     semantics as :func:`ba_optimize`: fixed split damping, identity-camera
     rotation freeze, >1e-3 RMS improvement acceptance, stop after 5
@@ -468,7 +520,7 @@ def ba_optimize_pairs(params: jnp.ndarray, prob: BAPairProblem,
             best_flat.reshape(n_cam, 6), resid, prob, n_cam
         )
         A = JtJ + jnp.diag(damp)
-        delta = jnp.linalg.solve(A, Jtb[:, None])[:, 0]
+        delta = _lm_solve(A, Jtb, device_solver)
         new_flat = best_flat - delta * upd_mask
         new_r, wm = _pairs_residuals(new_flat.reshape(n_cam, 6), prob)
         new_err = rms(new_r, wm)

@@ -200,7 +200,10 @@ def estimate_cameras(
             )
             params = np.array(
                 ba_optimize_pairs(
-                    jnp.asarray(params), prob, jnp.asarray(root), n, cfg.LM_LAMBDA
+                    jnp.asarray(params), prob, jnp.asarray(root), n,
+                    cfg.LM_LAMBDA,
+                    # TPU placement needs the f32-LU + f64-refinement solver
+                    device_solver=not cfg.BA_ON_HOST,
                 )
             )
 

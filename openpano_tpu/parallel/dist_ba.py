@@ -64,4 +64,6 @@ def ba_optimize_pairs_sharded(params, prob: BAPairProblem, identity_idx,
     )
     params = jax.device_put(jnp.asarray(params), repl)
     identity_idx = jax.device_put(jnp.asarray(identity_idx), repl)
-    return ba_optimize_pairs(params, prob, identity_idx, n_cam, lm_lambda)
+    # device path: f64 LU doesn't lower on TPU — use the refined solver
+    return ba_optimize_pairs(params, prob, identity_idx, n_cam, lm_lambda,
+                             device_solver=True)

@@ -25,7 +25,11 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..camera.bundle_adjuster import _normal_equations, pairs_to_points
+from ..camera.bundle_adjuster import (
+    _normal_equations,
+    pairs_to_points,
+    solve_sym_refined,
+)
 from ..config import Config
 from ..geometry.ransac import estimate_transform
 from ..match.matcher import match_pair
@@ -116,9 +120,10 @@ def sharded_pipeline_step(imgs, whs, ii, jj, key, cfg: Config, mesh: Mesh,
         params = params.at[:, 0].set((whs[:, 0] + whs[:, 1]) * 0.5)
         resid = jnp.zeros((prob.w.shape[0], 2), jnp.float64)
         JtJ, Jtb = _normal_equations(params, resid, prob, n)
-        delta = jnp.linalg.solve(
-            JtJ + jnp.eye(n * 6, dtype=jnp.float64), Jtb[:, None]
-        )[:, 0]
+        # f64 LU doesn't lower on TPU: Jacobi-scaled f32 LU + f64 refinement
+        delta = solve_sym_refined(
+            JtJ + jnp.eye(n * 6, dtype=jnp.float64), Jtb
+        )
 
         # ---- stage 4: canvas blend, rows sharded (SP analog) ----
         out_h, out_w = canvas_hw

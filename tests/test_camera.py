@@ -203,3 +203,23 @@ class TestStraighten:
         # rotations stay orthonormal
         for R in out.R:
             np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-10)
+
+
+class TestRefinedSolver:
+    def test_matches_direct_f64_solve(self, rng):
+        """solve_sym_refined (the TPU path: f32 LU + f64 refinement) must
+        agree with jnp.linalg.solve on a realistically-scaled damped JtJ."""
+        import jax.numpy as jnp
+
+        from openpano_tpu.camera.bundle_adjuster import solve_sym_refined
+
+        n = 96
+        J = rng.normal(size=(400, n))
+        # bad scaling like focal^2 vs rotation blocks
+        scales = 10.0 ** rng.uniform(-2, 5, n)
+        A = (J.T @ J) * scales[:, None] * scales[None, :]
+        A += np.diag(np.full(n, 10.0))
+        b = rng.normal(size=n) * scales
+        x_ref = np.linalg.solve(A, b)
+        x = np.asarray(solve_sym_refined(jnp.asarray(A), jnp.asarray(b)))
+        np.testing.assert_allclose(x, x_ref, rtol=1e-9, atol=1e-12)

@@ -31,6 +31,13 @@ def main() -> None:
     args = ap.parse_args()
 
     import jax
+
+    # the dev environment's sitecustomize force-registers the TPU plugin
+    # and overrides the JAX_PLATFORMS env var; honor it explicitly so the
+    # virtual-device CPU run works as documented
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
     import numpy as np
 
