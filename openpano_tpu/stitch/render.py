@@ -344,6 +344,60 @@ def _sample_bilinear_packed(img_i32, y, x):
     return color, ok
 
 
+# experiment: evaluate the inverse projection map exactly only on a coarse
+# GSxGS grid per tile and bilinearly interpolate the source coordinates in
+# between — kills the per-pixel trig/einsum/divide.  Interpolation error of
+# the post-divide map is ~GS^2/(8*focal_px) (< 0.02 px for GS=16 at
+# pano-typical focals); behind-lens handling interpolates z and masks z>0.
+_BLEND_GRID = _os.environ.get("OPENPANO_BLEND_GRID", "0") == "1"
+_GS = 16
+
+
+def _inverse_map_grid(proj2homo, hinv, wh, ox, oy, resolution, proj_min,
+                      BH: int, BW: int):
+    """(sx, sy, z) [BH, BW]: exact map at (BH/GS+1)x(BW/GS+1) grid corners,
+    bilinear in between."""
+    ngy, ngx = BH // _GS + 1, BW // _GS + 1
+    gx = (ox.astype(jnp.float32) + jnp.arange(ngx, dtype=jnp.float32) * _GS)
+    gy = (oy.astype(jnp.float32) + jnp.arange(ngy, dtype=jnp.float32) * _GS)
+    cx = gx * resolution[0] + proj_min[0]
+    cy = gy * resolution[1] + proj_min[1]
+    cgrid = jnp.stack(
+        [jnp.broadcast_to(cx[None, :], (ngy, ngx)),
+         jnp.broadcast_to(cy[:, None], (ngy, ngx))], axis=-1
+    )
+    hm = proj2homo(cgrid)
+    ret = jnp.einsum("hwc,dc->hwd", hm, hinv.astype(jnp.float32))
+    zg = ret[..., 2]
+    zs = jnp.where(jnp.abs(zg) > 1e-20, zg, 1e-20)
+    sxg = ret[..., 0] / zs + wh[0] * 0.5
+    syg = ret[..., 1] / zs + wh[1] * 0.5
+
+    fy = (jnp.arange(_GS, dtype=jnp.float32) / _GS)[:, None, None, None]
+    fx = (jnp.arange(_GS, dtype=jnp.float32) / _GS)[None, :, None, None]
+
+    def up(g):
+        # cell corners [nty, ntx] -> dense [BH, BW]
+        c00 = g[:-1, :-1]
+        c01 = g[:-1, 1:]
+        c10 = g[1:, :-1]
+        c11 = g[1:, 1:]
+        v = (c00 * (1 - fy) * (1 - fx) + c01 * (1 - fy) * fx
+             + c10 * fy * (1 - fx) + c11 * fy * fx)   # [GS,GS,nty,ntx]
+        return v.transpose(2, 0, 3, 1).reshape(BH, BW)
+
+    # z is only consumed by the behind-lens z>0 test; interpolating across
+    # a sign change would produce garbage coords that can land in-bounds,
+    # so use the conservative cell-min (the z=0 horizon never intersects a
+    # finite item bbox — projected border points there lie at infinity)
+    zc = jnp.minimum(
+        jnp.minimum(zg[:-1, :-1], zg[:-1, 1:]),
+        jnp.minimum(zg[1:, :-1], zg[1:, 1:]),
+    )
+    zfull = jnp.repeat(jnp.repeat(zc, _GS, 0), _GS, 1)
+    return up(sxg), up(syg), zfull
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("proj", "ordered", "BH", "BW"),
@@ -372,18 +426,23 @@ def _blend_group(color_acc, w_acc, imgs, homo_invs, whs, item_idx, ranges,
         img = imgs[idx]
         oy = org[1]
         ox = org[0]
-        cx = (ox.astype(jnp.float32) + t_w) * resolution[0] + proj_min[0]
-        cy = (oy.astype(jnp.float32) + t_h) * resolution[1] + proj_min[1]
-        cgrid = jnp.stack(
-            [jnp.broadcast_to(cx[None, :], (BH, BW)),
-             jnp.broadcast_to(cy[:, None], (BH, BW))], axis=-1
-        )
-        hm = proj2homo(cgrid)
-        ret = jnp.einsum("hwc,dc->hwd", hm, hinv.astype(jnp.float32))
-        z = ret[..., 2]
-        zsafe = jnp.where(jnp.abs(z) > 1e-20, z, 1e-20)
-        sx = ret[..., 0] / zsafe + wh[0] * 0.5
-        sy = ret[..., 1] / zsafe + wh[1] * 0.5
+        if _BLEND_GRID:
+            sx, sy, z = _inverse_map_grid(
+                proj2homo, hinv, wh, ox, oy, resolution, proj_min, BH, BW
+            )
+        else:
+            cx = (ox.astype(jnp.float32) + t_w) * resolution[0] + proj_min[0]
+            cy = (oy.astype(jnp.float32) + t_h) * resolution[1] + proj_min[1]
+            cgrid = jnp.stack(
+                [jnp.broadcast_to(cx[None, :], (BH, BW)),
+                 jnp.broadcast_to(cy[:, None], (BH, BW))], axis=-1
+            )
+            hm = proj2homo(cgrid)
+            ret = jnp.einsum("hwc,dc->hwd", hm, hinv.astype(jnp.float32))
+            z = ret[..., 2]
+            zsafe = jnp.where(jnp.abs(z) > 1e-20, z, 1e-20)
+            sx = ret[..., 0] / zsafe + wh[0] * 0.5
+            sy = ret[..., 1] / zsafe + wh[1] * 0.5
         if packed:
             color, ok = _sample_bilinear_packed(img, sy, sx)
         else:
