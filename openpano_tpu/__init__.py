@@ -27,10 +27,10 @@ if not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
 from .config import Config, DEFAULT  # noqa: E402
 
 __version__ = "0.1.0"
-__all__ = ["Config", "DEFAULT", "stitch", "stitch_files", "__version__"]
+__all__ = ["Config", "DEFAULT", "stitch_images", "stitch_files", "__version__"]
 
 
-def stitch(imgs, cfg: Config | None = None, key=None, output: str = "f32"):
+def stitch_images(imgs, cfg: Config | None = None, key=None, output: str = "f32"):
     """Stitch a [N, H, W, 3] image stack (uint8 or float32 in [0,1]).
 
     Dispatches on cfg mode like the reference's work() (main.cc:205-235):
@@ -74,7 +74,7 @@ def stitch_files(paths, cfg: Config | None = None, out: str | None = None,
         raise ValueError(
             f"all inputs must share one shape (batched TPU path); got {sorted(shapes)}"
         )
-    canvas, valid = stitch(np.stack(imgs), cfg, key=key, output="u8")
+    canvas, valid = stitch_images(np.stack(imgs), cfg, key=key, output="u8")
     if crop if crop is not None else cfg.CROP:
         from .ops.imgproc import crop_with_mask
 

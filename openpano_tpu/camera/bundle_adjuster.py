@@ -319,24 +319,19 @@ def solve_sym_refined(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """TPU-safe f64 solve of the damped normal equations.
 
     XLA on TPU implements LuDecomposition only for f32/c64, so a direct
-    f64 `jnp.linalg.solve` cannot lower there.  The damped JtJ is symmetric
-    positive definite but badly scaled (focal^2 vs rotation entries), so:
-    Jacobi-scale in f64 (unit diagonal), LU-factor once in f32, then three
-    f64 iterative-refinement steps — recovers ~f64 accuracy for the
-    conditioned system (SURVEY.md §7 "f32 with iterative refinement for
-    the solve while keeping f64 residuals")."""
+    f64 `jnp.linalg.solve` cannot lower there — but CholeskyExpander and
+    TriangularSolveExpander lower through basic ops at any float width.
+    The damped JtJ is symmetric positive definite (fixed split damping on
+    the diagonal, .cc:240-248) but badly scaled (focal^2 vs rotation
+    entries, scaled cond ~5e7 — past what f32 LU + iterative refinement
+    can recover), so: Jacobi-scale to unit diagonal, then f64 Cholesky +
+    two triangular solves."""
     d = jnp.sqrt(jnp.maximum(jnp.abs(jnp.diagonal(A)), 1e-30))
     As = A / d[:, None] / d[None, :]
     bs = b / d
-    lu, piv = jax.scipy.linalg.lu_factor(As.astype(jnp.float32))
-
-    def f32_solve(r):
-        return jax.scipy.linalg.lu_solve((lu, piv), r.astype(jnp.float32)
-                                         ).astype(As.dtype)
-
-    x = f32_solve(bs)
-    for _ in range(3):
-        x = x + f32_solve(bs - As @ x)
+    L = jnp.linalg.cholesky(As)
+    y = jax.scipy.linalg.solve_triangular(L, bs, lower=True)
+    x = jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
     return x / d
 
 

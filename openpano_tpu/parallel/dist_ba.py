@@ -64,6 +64,9 @@ def ba_optimize_pairs_sharded(params, prob: BAPairProblem, identity_idx,
     )
     params = jax.device_put(jnp.asarray(params), repl)
     identity_idx = jax.device_put(jnp.asarray(identity_idx), repl)
-    # device path: f64 LU doesn't lower on TPU — use the refined solver
+    # TPU: f64 LU doesn't lower — use the Jacobi-scaled f64 Cholesky solver.
+    # CPU/GPU meshes solve in native f64 so the sharded result is
+    # bit-comparable to the single-device path.
+    on_tpu = mesh.devices.flat[0].platform == "tpu"
     return ba_optimize_pairs(params, prob, identity_idx, n_cam, lm_lambda,
-                             device_solver=True)
+                             device_solver=on_tpu)
