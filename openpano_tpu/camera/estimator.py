@@ -202,7 +202,7 @@ def estimate_cameras(
                 ba_optimize_pairs(
                     jnp.asarray(params), prob, jnp.asarray(root), n,
                     cfg.LM_LAMBDA,
-                    # TPU placement needs the f32-LU + f64-refinement solver
+                    # TPU placement needs the Jacobi-scaled Cholesky solver
                     device_solver=not cfg.BA_ON_HOST,
                 )
             )
