@@ -1,11 +1,16 @@
-"""Headline benchmark: end-to-end panorama stitch throughput.
+"""Headline benchmark: end-to-end panorama stitch throughput + the
+BASELINE.md metric set.
 
 Workload mirrors the reference's CMU0 headline (38 unordered 1300x867
 images, ESTIMATE_CAMERA mode, 51 s on an i7-6700HQ — BASELINE.md).
 BENCH_SMALL=1 selects a quicker 13-image 640x480 variant.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 vs_baseline = our img/s divided by the reference's 0.745 img/s headline.
+"extra" carries the rest of the BASELINE metric set measured on the same
+run: SIFT keypoints/s/chip, BA LM iterations/s, a camera-quality gate
+(mean reprojection error vs the synthetic ground truth; the run FAILS if
+it exceeds 5 px), per-stage wall times, and peak host RSS.
 """
 
 import json
@@ -21,7 +26,8 @@ def main():
 
     from openpano_tpu import Config
     from openpano_tpu.stitch.stitcher import stitch
-    from openpano_tpu.synth import photo_scene, render_views
+    from openpano_tpu.synth import gt_pair_homography, photo_scene, render_views
+    from openpano_tpu.utils import timer
 
     full = os.environ.get("BENCH_SMALL", "0") != "1"
     n = 38 if full else 13
@@ -35,13 +41,14 @@ def main():
         MAX_KP_PER_IMAGE=2048, MAX_MATCHES_PER_PAIR=1024,
     )
     scene = photo_scene()
-    views, _ = render_views(
+    views, truth = render_views(
         scene, n, out_w=out_w, out_h=out_h, hfov_deg=hfov,
         overlap=overlap, jitter=0.05, seed=5,
     )
     # shuffle: the benchmark is the unordered all-pairs path
     rng = np.random.default_rng(0)
     perm = rng.permutation(n)
+    truth = dict(truth, yaws=truth["yaws"][perm])
     # uint8 input / uint8 output: the realistic IO path (JPEGs decode to
     # u8; the write path wants u8) — 4x less host<->device traffic
     views = np.round(views[perm] * 255.0).astype(np.uint8)
@@ -50,13 +57,60 @@ def main():
     # transport's bandwidth swings minute-to-minute; best-of damps that
     out, valid = stitch(views, cfg, key=jax.random.PRNGKey(1), output="u8")
     dt = 1e30
+    best = None
     for _ in range(2):
+        timer.reset()
+        info = {}
         t0 = time.time()
-        out, valid = stitch(views, cfg, key=jax.random.PRNGKey(1), output="u8")
-        dt = min(dt, time.time() - t0)
+        out, valid = stitch(views, cfg, key=jax.random.PRNGKey(1),
+                            output="u8", info_out=info)
+        t = time.time() - t0
+        if t < dt:
+            dt = t
+            best = (info, timer.totals())
 
     assert out.shape[0] > 100 and out.shape[1] > out_w, out.shape
     assert valid.mean() > 0.3
+    info, stage_totals = best
+
+    # ---- BASELINE metric set (BASELINE.md "Targets for this repo") ----
+    # SIFT keypoints/s/chip: keypoints detected / feature-stage seconds
+    total_kpts = int(info["kpt_counts"].sum())
+    feat_s = sum(s for lbl, (_, s) in stage_totals.items()
+                 if lbl in ("upload+calc_feature", "calc_feature"))
+    kpts_per_s = total_kpts / feat_s if feat_s > 0 else 0.0
+    # BA LM iterations/s across the whole incremental schedule
+    lm_iters = info.get("lm_iters", 0)
+    lm_s = info.get("lm_time_s", 0.0)
+    lm_per_s = lm_iters / lm_s if lm_s > 0 else 0.0
+
+    # ---- quality gate: recovered cameras vs synthetic ground truth ----
+    homos = info["homos"]
+    # sample the true overlap: pair (i, j) with yaw_j > yaw_i overlaps on
+    # j's LEFT region (x_j such that x_i = x_j + f*dyaw stays in-frame)
+    gx, gy = np.meshgrid(
+        np.linspace(-out_w * 0.45, out_w * 0.05, 9),
+        np.linspace(-out_h * 0.4, out_h * 0.4, 7),
+    )
+    grid = np.stack([gx.ravel(), gy.ravel(), np.ones(gx.size)], 1)
+    inv_perm = np.argsort(perm)  # shuffled slot k holds original view perm[k]
+    errs = []
+    for orig in range(n - 1):  # adjacent-in-sweep pairs overlap the most
+        i, j = inv_perm[orig], inv_perm[orig + 1]
+        H_est = np.linalg.inv(homos[i]) @ homos[j]
+        H_gt = gt_pair_homography(
+            {"focal_px": truth["focal_px"],
+             "yaws": truth["yaws"]}, i, j, out_w, out_h)
+        pe = grid @ H_est.T
+        pg = grid @ H_gt.T
+        errs.append(np.linalg.norm(
+            pe[:, :2] / pe[:, 2:3] - pg[:, :2] / pg[:, 2:3], axis=1).mean())
+    reproj = float(np.mean(errs))
+    assert reproj < 5.0, f"camera quality gate failed: {reproj:.2f} px"
+
+    stage_s = {lbl: round(s, 3) for lbl, (_, s) in sorted(
+        stage_totals.items(), key=lambda kv: -kv[1][1]) if s > 0.005}
+
     img_per_s = n / dt
     baseline = 38 / 51.0  # reference CMU0 headline (BASELINE.md)
     print(json.dumps({
@@ -64,6 +118,18 @@ def main():
         "value": round(img_per_s, 3),
         "unit": "img/s",
         "vs_baseline": round(img_per_s / baseline, 3),
+        "extra": {
+            "images": n,
+            "wall_s": round(dt, 3),
+            "sift_kpts_per_s_per_chip": round(kpts_per_s, 1),
+            "total_kpts": total_kpts,
+            "ba_lm_iters_per_s": round(lm_per_s, 1),
+            "ba_lm_iters": lm_iters,
+            "mean_reproj_err_px": round(reproj, 3),
+            "final_size": [int(out.shape[1]), int(out.shape[0])],
+            "stage_s": stage_s,
+            "peak_rss_mb": round(timer.peak_rss_mb(), 1),
+        },
     }))
 
 

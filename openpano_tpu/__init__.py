@@ -30,12 +30,18 @@ __version__ = "0.1.0"
 __all__ = ["Config", "DEFAULT", "stitch_images", "stitch_files", "__version__"]
 
 
-def stitch_images(imgs, cfg: Config | None = None, key=None, output: str = "f32"):
+def stitch_images(imgs, cfg: Config | None = None, key=None,
+                  output: str = "f32", mesh=None):
     """Stitch a [N, H, W, 3] image stack (uint8 or float32 in [0,1]).
 
     Dispatches on cfg mode like the reference's work() (main.cc:205-235):
     CYLINDER -> CylinderStitcher, otherwise the general Stitcher.  Returns
     the blended canvas; with output="u8" returns (canvas_u8, valid_mask).
+    With ``mesh`` (a jax.sharding.Mesh), every device stage runs sharded
+    over its first axis (see stitch.stitcher.stitch).
+
+    (Renamed from ``stitch()`` in 0.1.0 — the old name was shadowed by the
+    ``openpano_tpu.stitch`` subpackage after first import.)
     """
     cfg = cfg or DEFAULT
     if cfg.CYLINDER:
@@ -51,7 +57,7 @@ def stitch_images(imgs, cfg: Config | None = None, key=None, output: str = "f32"
         return canvas
     from .stitch.stitcher import stitch as _stitch
 
-    return _stitch(imgs, cfg, key, output=output)
+    return _stitch(imgs, cfg, key, output=output, mesh=mesh)
 
 
 def stitch_files(paths, cfg: Config | None = None, out: str | None = None,
@@ -70,11 +76,16 @@ def stitch_files(paths, cfg: Config | None = None, out: str | None = None,
     cfg = cfg or DEFAULT
     imgs = [read_img_u8(p) for p in paths]
     shapes = {im.shape for im in imgs}
-    if len(shapes) != 1:
-        raise ValueError(
-            f"all inputs must share one shape (batched TPU path); got {sorted(shapes)}"
-        )
-    canvas, valid = stitch_images(np.stack(imgs), cfg, key=key, output="u8")
+    if len(shapes) == 1:
+        canvas, valid = stitch_images(np.stack(imgs), cfg, key=key, output="u8")
+    else:
+        # mixed sizes: per-shape feature buckets + sentinel-padded blend
+        # stack (reference: per-image shapes, stitch/imageref.hh:13-35)
+        if cfg.CYLINDER:
+            raise ValueError("CYLINDER mode requires uniform image sizes")
+        from .stitch.stitcher import stitch_hetero
+
+        canvas, valid = stitch_hetero(imgs, cfg, key=key, output="u8")
     if crop if crop is not None else cfg.CROP:
         from .ops.imgproc import crop_with_mask
 

@@ -315,7 +315,7 @@ def _normal_equations(params, residuals, prob: BAProblem, n_cam):
     return _eff_normal_equations(params, residuals, _effective(prob), n_cam)
 
 
-def solve_sym_refined(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+def solve_sym_scaled_chol(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """TPU-safe f64 solve of the damped normal equations.
 
     XLA on TPU implements LuDecomposition only for f32/c64, so a direct
@@ -325,7 +325,11 @@ def solve_sym_refined(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     the diagonal, .cc:240-248) but badly scaled (focal^2 vs rotation
     entries, scaled cond ~5e7 — past what f32 LU + iterative refinement
     can recover), so: Jacobi-scale to unit diagonal, then f64 Cholesky +
-    two triangular solves."""
+    two triangular solves.
+
+    PRECONDITION: A must be SPD — Cholesky without pivoting returns NaN
+    silently otherwise.  The LM call sites guarantee it via lm_lambda > 0
+    split damping (asserted in ba_optimize/ba_optimize_pairs)."""
     d = jnp.sqrt(jnp.maximum(jnp.abs(jnp.diagonal(A)), 1e-30))
     As = A / d[:, None] / d[None, :]
     bs = b / d
@@ -337,7 +341,7 @@ def solve_sym_refined(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 def _lm_solve(A, rhs, device_solver: bool):
     if device_solver:
-        return solve_sym_refined(A, rhs)
+        return solve_sym_scaled_chol(A, rhs)
     return jnp.linalg.solve(A, rhs[:, None])[:, 0]
 
 
@@ -349,6 +353,8 @@ def ba_optimize(params: jnp.ndarray, prob: BAProblem, identity_idx: jnp.ndarray,
                 device_solver: bool = False) -> jnp.ndarray:
     """Run the LM loop (optimize(), .cc:117-168).  params: [n,6] float64
     rows (focal, ppx, ppy, rx, ry, rz); returns optimized params."""
+    # solve_sym_scaled_chol needs A = JtJ + diag(damp) SPD (see its doc)
+    assert lm_lambda > 0, "LM damping must be positive (SPD precondition)"
     dtype = params.dtype
     flat0 = params.reshape(-1)
     eff = _effective(prob)
@@ -479,17 +485,21 @@ def _pairs_normal_equations(params, resid_w, prob: BAPairProblem, n_cam):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_cam", "lm_lambda", "device_solver")
+    jax.jit,
+    static_argnames=("n_cam", "lm_lambda", "device_solver", "return_iters"),
 )
 def ba_optimize_pairs(params: jnp.ndarray, prob: BAPairProblem,
                       identity_idx: jnp.ndarray, n_cam: int,
                       lm_lambda: float,
-                      device_solver: bool = False) -> jnp.ndarray:
+                      device_solver: bool = False,
+                      return_iters: bool = False) -> jnp.ndarray:
     """LM loop (optimize(), .cc:117-168) over a pair-major problem.  Same
     semantics as :func:`ba_optimize`: fixed split damping, identity-camera
     rotation freeze, >1e-3 RMS improvement acceptance, stop after 5
     consecutive non-improvements, residuals for J^T r taken from the most
     recently *evaluated* state (reference quirk)."""
+    # solve_sym_scaled_chol needs A = JtJ + diag(damp) SPD (see its doc)
+    assert lm_lambda > 0, "LM damping must be positive (SPD precondition)"
     dtype = params.dtype
     flat0 = params.reshape(-1)
 
@@ -526,8 +536,11 @@ def ba_optimize_pairs(params: jnp.ndarray, prob: BAPairProblem,
         return best_flat, new_r, best_err, nr_nd, itr + 1
 
     init = (flat0, r0, err0, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
-    best_flat, _, _, _, _ = jax.lax.while_loop(cond, body, init)
-    return best_flat.reshape(n_cam, 6)
+    best_flat, _, _, _, itr = jax.lax.while_loop(cond, body, init)
+    out = best_flat.reshape(n_cam, 6)
+    if return_iters:
+        return out, itr
+    return out
 
 
 def pairs_to_points(from_idx, to_idx, pts_to, pts_from, valid, pair_active):

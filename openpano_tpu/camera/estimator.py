@@ -110,8 +110,16 @@ def estimate_cameras(
     valid: np.ndarray,             # [n,n,M]
     whs: np.ndarray,               # [n,2]
     cfg: Config,
+    mesh=None,
+    stats: dict | None = None,
 ) -> CameraSet:
-    """Full CameraEstimator::estimate (camera_estimator.cc:46-103)."""
+    """Full CameraEstimator::estimate (camera_estimator.cc:46-103).
+
+    With ``mesh`` given, every LM dispatch shards its pair-major
+    residual/JtJ accumulation over the mesh's first axis
+    (parallel/dist_ba.py) — same compiled loop, GSPMD inserts the psum.
+    ``stats`` (if a dict) accumulates 'lm_iters' and 'lm_time_s' across
+    the whole incremental schedule (the BA-LM-iters/s benchmark metric)."""
     n = confidence.shape[0]
 
     focal = estimate_focal(confidence, homos)
@@ -169,7 +177,7 @@ def estimate_cameras(
         pair_swapped[s] = sw
 
     # BA placement: host CPU by default (tiny f64 LM; see Config.BA_ON_HOST)
-    if cfg.BA_ON_HOST:
+    if cfg.BA_ON_HOST and mesh is None:
         ba_ctx = lambda: jax.default_device(jax.devices("cpu")[0])
     else:
         ba_ctx = contextlib.nullcontext
@@ -188,7 +196,11 @@ def estimate_cameras(
         b = min(b, P)
         pw = np.zeros(b)
         pw[:n_active] = 1.0
+        want_iters = stats is not None
         with ba_ctx(), total_timer(f"ba_lm[{b}]"):
+            import time as _time
+
+            t0 = _time.perf_counter()
             prob = BAPairProblem(
                 pt_to=jnp.asarray(pt_to_slab[:b]),
                 pt_from=jnp.asarray(pt_from_slab[:b]),
@@ -198,14 +210,30 @@ def estimate_cameras(
                 swapped=jnp.asarray(pair_swapped[:b]),
                 pair_w=jnp.asarray(pw),
             )
-            params = np.array(
-                ba_optimize_pairs(
+            if mesh is not None:
+                from ..parallel.dist_ba import ba_optimize_pairs_sharded
+
+                out = ba_optimize_pairs_sharded(
+                    jnp.asarray(params), prob, jnp.asarray(root), n,
+                    cfg.LM_LAMBDA, mesh, return_iters=want_iters,
+                )
+            else:
+                out = ba_optimize_pairs(
                     jnp.asarray(params), prob, jnp.asarray(root), n,
                     cfg.LM_LAMBDA,
                     # TPU placement needs the Jacobi-scaled Cholesky solver
                     device_solver=not cfg.BA_ON_HOST,
+                    return_iters=want_iters,
                 )
-            )
+            if want_iters:
+                out, iters = out
+                params = np.array(out)
+                stats["lm_iters"] = stats.get("lm_iters", 0) + int(iters)
+                stats["lm_time_s"] = (
+                    stats.get("lm_time_s", 0.0) + _time.perf_counter() - t0
+                )
+            else:
+                params = np.array(out)
 
     visited = {root}
     for now, nxt in edges:

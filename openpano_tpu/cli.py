@@ -248,25 +248,26 @@ def mode_stitch(args, cfg):
     t0 = time.time()
     imgs = [read_img_u8(f) for f in args.images]
     shapes = {im.shape for im in imgs}
-    if len(shapes) != 1:
-        raise SystemExit(
-            "All input images must share one shape (batched TPU path); "
-            f"got {sorted(shapes)}"
-        )
-    stack = np.stack(imgs)
     print(f"Read {len(imgs)} images in {time.time()-t0:.2f}s")
 
     t0 = time.time()
     key = jax.random.PRNGKey(args.seed)
     if cfg.CYLINDER:
-        canvas = stitch_cylinder(stack, cfg, key)
+        if len(shapes) != 1:
+            raise SystemExit("CYLINDER mode requires uniform image sizes")
+        canvas = stitch_cylinder(np.stack(imgs), cfg, key)
         valid = canvas[..., 0] >= 0
         canvas = np.where(
             canvas < 0, np.uint8(255),
             np.round(np.clip(canvas, 0, 1) * 255).astype(np.uint8),
         )
+    elif len(shapes) != 1:
+        # mixed sizes: per-shape feature buckets + sentinel-padded blend
+        from .stitch.stitcher import stitch_hetero
+
+        canvas, valid = stitch_hetero(imgs, cfg, key, output="u8")
     else:
-        canvas, valid = stitch(stack, cfg, key, output="u8")
+        canvas, valid = stitch(np.stack(imgs), cfg, key, output="u8")
     print(f"Stitched in {time.time()-t0:.2f}s")
     print(f"Final Image Size: ({canvas.shape[1]}, {canvas.shape[0]})")
 

@@ -115,11 +115,35 @@ class Config:
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)
 
+    # knobs the reference's init_config() reads with the fatal CFG() macro
+    # (main.cc:237-292); a config file missing any of these aborts there
+    # (lib/config.cc:31-35), so we match — minus LAZY_READ, which has no
+    # meaning in the batched TPU memory model.
+    REFERENCE_KNOBS = (
+        "CYLINDER", "TRANS", "ESTIMATE_CAMERA", "ORDERED_INPUT", "CROP",
+        "STRAIGHTEN", "FOCAL_LENGTH", "MAX_OUTPUT_SIZE", "SIFT_WORKING_SIZE",
+        "NUM_OCTAVE", "NUM_SCALE", "SCALE_FACTOR", "GAUSS_SIGMA",
+        "GAUSS_WINDOW_FACTOR", "JUDGE_EXTREMA_DIFF_THRES", "CONTRAST_THRES",
+        "PRE_COLOR_THRES", "EDGE_RATIO", "CALC_OFFSET_DEPTH", "OFFSET_THRES",
+        "ORI_RADIUS", "ORI_HIST_SMOOTH_COUNT", "DESC_HIST_SCALE_FACTOR",
+        "DESC_INT_FACTOR", "MATCH_REJECT_NEXT_RATIO", "RANSAC_ITERATIONS",
+        "RANSAC_INLIER_THRES", "INLIER_IN_MATCH_RATIO",
+        "INLIER_IN_POINTS_RATIO", "SLOPE_PLAIN", "LM_LAMBDA", "MULTIPASS_BA",
+        "MULTIBAND",
+    )
+
     @classmethod
-    def from_file(cls, path: str, **overrides) -> "Config":
+    def from_file(cls, path: str, strict: bool = True, **overrides) -> "Config":
         """Parse the reference's config file format: whitespace-separated
         key value pairs, '#' comments, every value numeric
-        (reference: lib/config.cc:13-29)."""
+        (reference: lib/config.cc:13-29).
+
+        strict=True matches the reference's fatal missing-key behavior
+        (config.cc:31-35): every REFERENCE_KNOBS entry must appear in the
+        file (or in ``overrides``).  Unknown file keys warn (the reference
+        silently never reads them)."""
+        import warnings
+
         values = {}
         field_map = {f.name: f for f in dataclasses.fields(cls)}
         with open(path) as f:
@@ -132,7 +156,9 @@ class Config:
                     continue
                 key, val = parts[0], float(parts[1])
                 if key not in field_map:
-                    continue  # unknown knobs ignored (forward compat)
+                    if key != "LAZY_READ":  # reference-only memory knob
+                        warnings.warn(f"config {path}: unknown key {key!r}")
+                    continue
                 ftype = field_map[key].type
                 if ftype in ("bool", bool):
                     values[key] = bool(val)
@@ -141,6 +167,12 @@ class Config:
                 else:
                     values[key] = float(val)
         values.update(overrides)
+        if strict:
+            missing = [k for k in cls.REFERENCE_KNOBS if k not in values]
+            if missing:
+                raise KeyError(
+                    f"Option {missing[0]} not found in config file {path}!"
+                )  # lib/config.cc:31-35
         return cls(**values).validate()
 
 

@@ -40,7 +40,8 @@ def _pad_pairs(prob: BAPairProblem, mult: int) -> BAPairProblem:
 
 def ba_optimize_pairs_sharded(params, prob: BAPairProblem, identity_idx,
                               n_cam: int, lm_lambda: float,
-                              mesh: Mesh) -> jnp.ndarray:
+                              mesh: Mesh,
+                              return_iters: bool = False) -> jnp.ndarray:
     """Run the full LM loop with pairs sharded over the mesh's first axis.
 
     Semantics identical to :func:`ba_optimize_pairs` (same compiled loop —
@@ -69,4 +70,4 @@ def ba_optimize_pairs_sharded(params, prob: BAPairProblem, identity_idx,
     # bit-comparable to the single-device path.
     on_tpu = mesh.devices.flat[0].platform == "tpu"
     return ba_optimize_pairs(params, prob, identity_idx, n_cam, lm_lambda,
-                             device_solver=on_tpu)
+                             device_solver=on_tpu, return_iters=return_iters)

@@ -205,11 +205,14 @@ def _poly_rect_intersects(poly: np.ndarray, x0, y0, x1, y1, margin=8.0) -> bool:
 
 
 def _tile_jobs(plan: RenderPlan, groups: int, TH: int = _TILE_H,
-               TW: int = _TILE_W):
+               TW: int = _TILE_W, exact: bool = False):
     """Flat list of [TH, TW] tile jobs covering every item's bbox, skipping
     tiles the item's projected hull never touches, partitioned into
     ``groups`` column bands (band = tile x-origin // SW; a band-g job never
     writes columns < g*SW, so strip g is final once bands <= g are done).
+
+    ``exact=True`` keeps G == groups even when bands come out empty — the
+    mesh-sharded blender needs exactly one band per device.
 
     Returns (G, SW, Hp, Wp, band_jobs) where band_jobs[g] is
     (idx [J], rng [J,4] f32 true bboxes, org [J,2] i32 tile origins)."""
@@ -220,10 +223,11 @@ def _tile_jobs(plan: RenderPlan, groups: int, TH: int = _TILE_H,
     Hp = oy_max + TH
     Wp = ox_max + TW
 
-    G = groups if len(it) >= 2 * groups else 1
+    G = groups if (exact or len(it) >= 2 * groups) else 1
     SW = -(-(-(-Wp // G)) // 128) * 128  # ceil(Wp/G) rounded up to 128
-    while (G - 1) * SW >= Wp:  # last strip must be non-empty
-        G -= 1
+    if not exact:
+        while (G - 1) * SW >= Wp:  # last strip must be non-empty
+            G -= 1
     Wp = G * SW  # pad so every strip slice stays in bounds
 
     jobs_i: list[list[int]] = [[] for _ in range(G)]
@@ -411,6 +415,18 @@ def _blend_group(color_acc, w_acc, imgs, homo_invs, whs, item_idx, ranges,
 
     imgs: [N,H,W,3] f32 stack, or [N,H,W] int32 R|G|B|valid-packed
     (pack_imgs_u8) for scalar-gather sampling."""
+    return _blend_scan(color_acc, w_acc, imgs, homo_invs, whs, item_idx,
+                       ranges, origins, proj_min, resolution, proj, ordered,
+                       BH, BW, slice_x0=None)
+
+
+def _blend_scan(color_acc, w_acc, imgs, homo_invs, whs, item_idx, ranges,
+                origins, proj_min, resolution, proj: str, ordered: bool,
+                BH: int, BW: int, slice_x0=None):
+    """Core tile-job scan.  ``slice_x0`` (traced int32) shifts the canvas
+    x-origin of the accumulator writes — the mesh-sharded blender
+    accumulates into a local column strip while the projection math keeps
+    global canvas coordinates."""
     _, proj2homo = PROJECTIONS[proj]
     packed = imgs.ndim == 3
     if not packed:
@@ -459,10 +475,11 @@ def _blend_group(color_acc, w_acc, imgs, homo_invs, whs, item_idx, ranges,
         wm = jnp.where(m, w, 0.0)
         wc = jnp.where(m[..., None], color, 0.0) * wm[..., None]
         zero = jnp.int32(0)
-        cur_c = jax.lax.dynamic_slice(color_acc, (oy, ox, zero), (BH, BW, 3))
-        cur_w = jax.lax.dynamic_slice(w_acc, (oy, ox), (BH, BW))
-        color_acc = jax.lax.dynamic_update_slice(color_acc, cur_c + wc, (oy, ox, zero))
-        w_acc = jax.lax.dynamic_update_slice(w_acc, cur_w + wm, (oy, ox))
+        oxs = ox if slice_x0 is None else ox - slice_x0
+        cur_c = jax.lax.dynamic_slice(color_acc, (oy, oxs, zero), (BH, BW, 3))
+        cur_w = jax.lax.dynamic_slice(w_acc, (oy, oxs), (BH, BW))
+        color_acc = jax.lax.dynamic_update_slice(color_acc, cur_c + wc, (oy, oxs, zero))
+        w_acc = jax.lax.dynamic_update_slice(w_acc, cur_w + wm, (oy, oxs))
         return (color_acc, w_acc), None
 
     (color_acc, w_acc), _ = jax.lax.scan(
@@ -537,6 +554,90 @@ def blend_linear_stream_u8(imgs: jnp.ndarray, plan: RenderPlan,
     parts = [np.asarray(s).view(np.uint8).reshape(plan.out_h, SW, 4)
              for s in strips]
     return np.concatenate(parts, axis=1)[:, : plan.out_w]
+
+
+def blend_linear_sharded(imgs: jnp.ndarray, plan: RenderPlan, ordered: bool,
+                         mesh) -> np.ndarray:
+    """Mesh-sharded linear blend: the canvas/sequence-parallel analog
+    (SURVEY.md §5.7 — "shard the output canvas into tiles distributed over
+    the mesh; each device blends only images whose projected bbox
+    intersects its tiles").
+
+    One column band per device: device g owns canvas columns
+    [g*SW, (g+1)*SW) and runs exactly the band-g tile jobs of `_tile_jobs`
+    into a local strip with a TW halo.  A band-g tile can spill at most TW
+    columns into strip g+1, so a single ppermute of the halo over the mesh
+    axis (ICI neighbor exchange — the system's only halo) completes the
+    accumulation exactly.  Same per-pixel math as `blend_linear`; device
+    count only changes f32 accumulation *order*.
+
+    Returns the blended [out_h, out_w, 3] canvas (host numpy, INVALID where
+    empty)."""
+    axis = mesh.axis_names[0]
+    nd = int(mesh.devices.size)
+    TH, TW = _TILE_H, _TILE_W
+    G, SW, Hp, Wp, band_jobs = _tile_jobs(plan, groups=nd, exact=True)
+    assert G == nd
+
+    # pad per-band job lists to one fixed capacity (dummies: empty bboxes)
+    IC = max(max(len(b[0]) for b in band_jobs), 1)
+    g_idx = np.zeros((G, IC), np.int32)
+    g_rng = np.zeros((G, IC, 4), np.float32)
+    g_org = np.zeros((G, IC, 2), np.int32)
+    for g, (bi, br, bo) in enumerate(band_jobs):
+        g_idx[g, : len(bi)] = bi
+        g_rng[g, : len(bi)] = br
+        g_org[g, : len(bi)] = bo
+
+    from jax.sharding import PartitionSpec as P
+
+    @functools.partial(jax.jit, static_argnames=("proj", "ordered"))
+    def run(imgs, idx, rng, org, homo_invs, whs, proj_min, resolution,
+            proj: str, ordered: bool):
+        def body(imgs, idx, rng, org, homo_invs, whs, proj_min, resolution):
+            g = jax.lax.axis_index(axis)
+            # mark the accumulators device-varying (each device's strip
+            # holds different data) so the scan carry types line up
+            color_acc = jax.lax.pcast(
+                jnp.zeros((Hp, SW + TW, 3), jnp.float32), (axis,), to="varying"
+            )
+            w_acc = jax.lax.pcast(
+                jnp.zeros((Hp, SW + TW), jnp.float32), (axis,), to="varying"
+            )
+            color_acc, w_acc = _blend_scan(
+                color_acc, w_acc, imgs, homo_invs, whs,
+                idx[0], rng[0], org[0], proj_min, resolution,
+                proj, ordered, TH, TW,
+                slice_x0=(g * SW).astype(jnp.int32),
+            )
+            # neighbor halo exchange: strip g's spill-over columns belong
+            # to strip g+1 (the last strip never spills: Wp covers ox+TW)
+            perm = [(i, i + 1) for i in range(nd - 1)]
+            halo_c = jax.lax.ppermute(color_acc[:, SW:], axis, perm)
+            halo_w = jax.lax.ppermute(w_acc[:, SW:], axis, perm)
+            color_acc = color_acc.at[:, :TW].add(halo_c)
+            w_acc = w_acc.at[:, :TW].add(halo_w)
+            strip_c = color_acc[:, :SW]
+            strip_w = w_acc[:, :SW]
+            has = strip_w > 0
+            out = strip_c / jnp.where(has, strip_w, 1.0)[..., None]
+            return jnp.where(has[..., None], out, INVALID)
+
+        return jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(), P(axis), P(axis), P(axis), P(), P(), P(), P()),
+            out_specs=P(None, axis),
+        )(imgs, idx, rng, org, homo_invs, whs, proj_min, resolution)
+
+    canvas = run(
+        imgs.astype(jnp.float32),
+        jnp.asarray(g_idx), jnp.asarray(g_rng), jnp.asarray(g_org),
+        jnp.asarray(plan.homo_invs), jnp.asarray(plan.whs, jnp.float32),
+        jnp.asarray(plan.proj_min, jnp.float32),
+        jnp.asarray(plan.resolution, jnp.float32),
+        plan.proj, ordered,
+    )
+    return np.asarray(canvas)[: plan.out_h, : plan.out_w]
 
 
 def blend(imgs: jnp.ndarray, plan: RenderPlan, ordered: bool, multiband: int) -> jnp.ndarray:

@@ -61,37 +61,48 @@ class PairwiseGraph:
 
 
 def build_pairwise_graph(feats, whs, cfg: Config, key, ordered: bool,
-                         affine: bool) -> PairwiseGraph:
+                         affine: bool, mesh=None) -> PairwiseGraph:
     """Match + RANSAC over all C(n,2) pairs (or the ordered ring) in two
-    batched device calls."""
+    batched device calls.  With ``mesh``, the flat pair axis shards over
+    the mesh's first axis (XLA all-gathers the descriptor stack once per
+    device — SURVEY.md §5.8 "pairs -> sharded pair blocks")."""
     n = feats.desc.shape[0]
-    with total_timer("match_2nn"):
-        if ordered:
-            # (i, i+1) ring including the head-tail wrap pair, which is
-            # allowed to fail (linear_pairwise_match, stitcher.cc:116-136)
-            ii = list(range(n))
-            jj = [(i + 1) % n for i in ii]
-            res = match_ring_pairs(feats.desc, feats.valid, cfg)
-        else:
-            ii, jj = pair_indices(n)
-            res = match_all_pairs(feats.desc, feats.valid, cfg)
-        jax.block_until_ready(res)
+    if ordered:
+        # (i, i+1) ring including the head-tail wrap pair, which is
+        # allowed to fail (linear_pairwise_match, stitcher.cc:116-136)
+        ii = list(range(n))
+        jj = [(i + 1) % n for i in ii]
+    else:
+        ii, jj = pair_indices(n)
 
-    with total_timer("ransac"):
-        infos = estimate_transform_batch(
-            res, feats.pos, feats.valid, whs,
-            jnp.asarray(ii), jnp.asarray(jj), key, cfg, affine,
+    if mesh is not None:
+        small, big, P_, M = _match_ransac_sharded(
+            feats, whs, ii, jj, key, cfg, affine, mesh
         )
-        small, big = _pack_infos(infos)
-        jax.block_until_ready(big)
+    else:
+        with total_timer("match_2nn"):
+            if ordered:
+                res = match_ring_pairs(feats.desc, feats.valid, cfg)
+            else:
+                res = match_all_pairs(feats.desc, feats.valid, cfg)
+            jax.block_until_ready(res)
+
+        with total_timer("ransac"):
+            infos = estimate_transform_batch(
+                res, feats.pos, feats.valid, whs,
+                jnp.asarray(ii), jnp.asarray(jj), key, cfg, affine,
+            )
+            small, big = _pack_infos(infos)
+            jax.block_until_ready(big)
+            P_, M = infos.valid.shape
     # downloads over a remote-attached device pay ~40 ms fixed + ~20 ms/MB:
     # pack the pytree into two buffers (small f64 geometry + big f32 point
     # data — coords are exactly representable in f32) instead of per-leaf
     # transfers
     with total_timer("match_fetch"):
-        small = np.asarray(small)
-        big = fetch(big)
-    P, M = infos.valid.shape
+        small = np.asarray(small)[: len(ii)]
+        big = fetch(big)[: len(ii)]
+    P = len(ii)
     homo = small[:, :9].reshape(P, 3, 3)
     conf = small[:, 9]
     to_pos = big[:, : 2 * M].reshape(P, M, 2).astype(np.float64)
@@ -123,7 +134,58 @@ def _pack_infos(infos):
     return small, big
 
 
-def stitch(imgs: np.ndarray, cfg: Config, key=None, output: str = "f32"):
+def _match_ransac_sharded(feats, whs, ii, jj, key, cfg: Config, affine: bool,
+                          mesh):
+    """Match + RANSAC with the pair axis sharded over the mesh (the
+    reference pair loop, stitcher.cc:96-114, as one GSPMD-partitioned
+    dispatch).  Pads the pair list to a mesh-size multiple (dummy (0,0)
+    self-pairs, dropped by the caller's truncation).  Returns packed
+    (small, big) buffers plus (P_padded, M)."""
+    import functools
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ..geometry.ransac import estimate_transform
+    from ..match.matcher import match_pair
+
+    axis = mesh.axis_names[0]
+    nd = int(mesh.devices.size)
+    p_real = len(ii)
+    r = (-p_real) % nd
+    ii_p = np.asarray(list(ii) + [0] * r, np.int32)
+    jj_p = np.asarray(list(jj) + [0] * r, np.int32)
+
+    pair_sh = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+    keys = jax.device_put(jax.random.split(key, len(ii_p)), pair_sh)
+    ii_d = jax.device_put(jnp.asarray(ii_p), pair_sh)
+    jj_d = jax.device_put(jnp.asarray(jj_p), pair_sh)
+    desc = jax.device_put(feats.desc, repl)
+    valid = jax.device_put(feats.valid, repl)
+    pos = jax.device_put(feats.pos, repl)
+    whs_d = jax.device_put(jnp.asarray(whs), repl)
+
+    @functools.partial(jax.jit, static_argnames=("cfg", "affine"))
+    def run(desc, valid, pos, whs, ii, jj, keys, cfg, affine):
+        def one(i, j, k):
+            m = match_pair(desc[i], valid[i], desc[j], valid[j], cfg)
+            return estimate_transform(
+                m, pos[i], valid[i], pos[j], valid[j],
+                whs[i], whs[j], k, cfg, affine,
+            )
+
+        infos = jax.vmap(one)(ii, jj, keys)
+        return _pack_infos(infos)
+
+    with total_timer("match+ransac_sharded"):
+        small, big = run(
+            desc, valid, pos, whs_d, ii_d, jj_d, keys, cfg, affine
+        )
+        jax.block_until_ready(big)
+    return small, big, len(ii_p), cfg.MAX_MATCHES_PER_PAIR
+
+
+def stitch(imgs: np.ndarray, cfg: Config, key=None, output: str = "f32",
+           mesh=None, info_out: dict | None = None):
     """Full Stitcher::build (stitcher.cc:32-63).  imgs: [n,H,W,3] float32 in
     [0,1] or uint8 (uploaded 4x cheaper and converted on device).
 
@@ -131,13 +193,28 @@ def stitch(imgs: np.ndarray, cfg: Config, key=None, output: str = "f32"):
     empty, pre-crop).  output="u8": returns ``(canvas_u8, valid)`` with the
     [0,1]->[0,255] conversion done on device (reference: cvt_f2uc,
     imgproc.cc:328-337) — 4x less device->host traffic for the write path.
-    """
+
+    mesh: a jax.sharding.Mesh — runs every device stage sharded over its
+    first axis: features data-parallel over images, match+RANSAC over
+    pairs, BA residual/JtJ accumulation over pairs (psum-reduced), and the
+    linear blend over canvas column bands with an ICI halo exchange
+    (SURVEY.md §5.7-5.8).  Host-side planning (MST, render plan) is
+    unchanged — the same algorithm, partitioned."""
     if key is None:
         key = jax.random.PRNGKey(0)
     n, H, W = imgs.shape[0], imgs.shape[1], imgs.shape[2]
-    mid = n >> 1                                  # assign_center, stitcher.cc:138-141
 
-    if isinstance(imgs, np.ndarray) and imgs.dtype == np.uint8:
+    if mesh is not None:
+        from .stitcherbase import compute_features_sharded
+
+        with total_timer("upload"):
+            imgs = jnp.asarray(imgs)
+            imgs = _u8_to_f32(imgs) if imgs.dtype == jnp.uint8 else imgs.astype(jnp.float32)
+            jax.block_until_ready(imgs)
+        with total_timer("calc_feature"):
+            feats = compute_features_sharded(imgs, cfg, mesh)
+            jax.block_until_ready(feats)
+    elif isinstance(imgs, np.ndarray) and imgs.dtype == np.uint8:
         # pipelined path: delta-coded batch uploads overlap the SIFT compute
         with total_timer("upload+calc_feature"):
             imgs, feats = upload_and_compute_features(imgs, cfg)
@@ -153,31 +230,125 @@ def stitch(imgs: np.ndarray, cfg: Config, key=None, output: str = "f32"):
         with total_timer("calc_feature"):
             feats = compute_features(imgs, cfg)
             jax.block_until_ready(feats)
-    whs = jnp.broadcast_to(jnp.asarray([W, H], jnp.float32), (n, 2))
+    whs_np = np.repeat([[float(W), float(H)]], n, 0)
+    return _stitch_core(imgs, feats, whs_np, cfg, key, output, mesh, info_out)
+
+
+def stitch_hetero(imgs_list, cfg: Config, key=None, output: str = "f32",
+                  mesh=None):
+    """Stitch images of MIXED sizes (reference: per-image shapes throughout
+    — ImageRef caches each file's own w/h, stitch/imageref.hh:13-35, and
+    StitcherBase::calc_feature handles them independently,
+    stitcherbase.cc:9-27).
+
+    TPU-native batching with heterogeneous shapes: images are bucketed by
+    (H, W) for the feature stage (one fixed-shape batched SIFT dispatch per
+    bucket — each bucket gets its own working-size resize, matching the
+    reference's per-image resize at feature.cc:33-36), then padded into one
+    [N, Hmax, Wmax, 3] stack with the INVALID sentinel beyond each image's
+    extent for the blend stage (sample_bilinear's Color::NO propagation
+    masks the padding; every geometric stage already carries per-image
+    ``whs``).
+
+    imgs_list: list of [Hi, Wi, 3] float32-in-[0,1] or uint8 arrays.
+    Returns like ``stitch``."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    n = len(imgs_list)
+    whs_np = np.asarray(
+        [[float(im.shape[1]), float(im.shape[0])] for im in imgs_list]
+    )
+
+    def to_f32(im):
+        im = np.asarray(im)
+        return im.astype(np.float32) / 255.0 if im.dtype == np.uint8 \
+            else im.astype(np.float32)
+
+    # ---- feature stage: one batched dispatch per shape bucket ----
+    buckets: dict[tuple, list[int]] = {}
+    for i, im in enumerate(imgs_list):
+        buckets.setdefault(im.shape[:2], []).append(i)
+    order = []
+    feat_parts = []
+    with total_timer("calc_feature"):
+        for shape, idxs in buckets.items():
+            stack = jnp.asarray(np.stack([to_f32(imgs_list[i]) for i in idxs]))
+            feat_parts.append(compute_features(stack, cfg))
+            order.extend(idxs)
+        inv = np.argsort(order)
+        feats = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0)[inv], *feat_parts
+        )
+        jax.block_until_ready(feats)
+
+    # ---- blend stack: pad to the max shape with the INVALID sentinel ----
+    with total_timer("upload"):
+        Hm = max(im.shape[0] for im in imgs_list)
+        Wm = max(im.shape[1] for im in imgs_list)
+        stack = np.full((n, Hm, Wm, 3), -1.0, np.float32)
+        for i, im in enumerate(imgs_list):
+            stack[i, : im.shape[0], : im.shape[1]] = to_f32(im)
+        imgs_dev = jnp.asarray(stack)
+        jax.block_until_ready(imgs_dev)
+
+    return _stitch_core(imgs_dev, feats, whs_np, cfg, key, output, mesh)
+
+
+def _stitch_core(imgs, feats, whs_np: np.ndarray, cfg: Config, key,
+                 output: str, mesh, info_out: dict | None = None):
+    """Shared tail of Stitcher::build after feature extraction: pairwise
+    match graph -> camera estimation (or homography chaining) -> render
+    plan -> blend (stitcher.cc:38-63).
+
+    ``info_out`` (a dict) collects run metadata for benchmarks: per-image
+    keypoint counts, the recovered cameras/homographies, the render plan,
+    and BA LM iteration stats."""
+    n = whs_np.shape[0]
+    mid = n >> 1                                  # assign_center, stitcher.cc:138-141
+    whs = jnp.asarray(whs_np, jnp.float32)
+    if info_out is not None:
+        info_out["kpt_counts"] = np.asarray(jnp.sum(feats.valid, axis=1))
     with total_timer("pairwise_match"):
         graph = build_pairwise_graph(
-            feats, whs, cfg, key, ordered=cfg.ORDERED_INPUT, affine=cfg.TRANS
+            feats, whs, cfg, key, ordered=cfg.ORDERED_INPUT,
+            affine=cfg.TRANS, mesh=mesh,
         )
 
-    whs_np = np.repeat([[float(W), float(H)]], n, 0)
     if cfg.ESTIMATE_CAMERA:
         with total_timer("estimate_camera"):
             cams = estimate_cameras(
                 graph.conf, graph.homo, graph.to_pos, graph.from_pos, graph.valid,
-                whs_np, cfg,
+                whs_np, cfg, mesh=mesh, stats=info_out,
             )
         homos = np.zeros((n, 3, 3))
         for i in range(n):                        # stitcher.cc:143-154
             K = intrinsic(cams.focal[i], cams.ppx[i], cams.ppy[i])
             homos[i] = cams.R[i].T @ np.linalg.inv(K)
         proj = "spherical"
+        if info_out is not None:
+            info_out["cams"] = cams
     else:
         homos = _build_linear_simple(graph, n, mid, whs_np, cfg)
         proj = "flat"
 
     with total_timer("blend"):
         plan = plan_render(homos, whs_np, mid, proj, cfg.MAX_OUTPUT_SIZE)
-        if output == "u8" and cfg.MULTIBAND == 0 and cfg.STREAM_BLEND:
+        if info_out is not None:
+            info_out["homos"] = homos
+            info_out["plan"] = plan
+        if mesh is not None and cfg.MULTIBAND == 0:
+            from .render import blend_linear_sharded
+
+            canvas = blend_linear_sharded(
+                imgs, plan, ordered=cfg.ORDERED_INPUT, mesh=mesh
+            )
+            if output == "u8":
+                valid = canvas[..., 0] >= 0
+                u8 = np.round(np.clip(canvas, 0.0, 1.0) * 255.0).astype(np.uint8)
+                result = (np.where(valid[..., None], u8, 255), valid)
+            else:
+                result = canvas
+        elif output == "u8" and cfg.MULTIBAND == 0 and cfg.STREAM_BLEND:
             # streamed path: column-strip downloads overlap blend compute
             rgba = blend_linear_stream_u8(imgs, plan, ordered=cfg.ORDERED_INPUT)
             result = (rgba[..., :3], rgba[..., 3] > 0)

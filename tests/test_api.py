@@ -35,10 +35,19 @@ def test_stitch_files_end_to_end(tmp_path):
     assert os.path.exists(out_path)
 
 
-def test_stitch_files_rejects_mixed_shapes(tmp_path):
+def test_stitch_files_mixed_shapes_routed_to_hetero(tmp_path):
+    """Mixed sizes are supported (stitch_hetero bucketing) except in
+    CYLINDER mode, whose warp assumes one shape."""
     a = os.path.join(tmp_path, "a.png")
     b = os.path.join(tmp_path, "b.png")
     write_rgb(a, np.zeros((10, 12, 3), np.uint8))
     write_rgb(b, np.zeros((10, 14, 3), np.uint8))
-    with pytest.raises(ValueError, match="one shape"):
+    cfg = openpano_tpu.Config(
+        CYLINDER=True, ESTIMATE_CAMERA=False, ORDERED_INPUT=True
+    )
+    with pytest.raises(ValueError, match="uniform"):
+        openpano_tpu.stitch_files([a, b], cfg)
+    # non-cylinder modes accept mixed shapes; these black scraps then fail
+    # at the zero-feature gate (stitcherbase.cc:20-21), not the shape check
+    with pytest.raises(RuntimeError, match="feature"):
         openpano_tpu.stitch_files([a, b])

@@ -205,13 +205,14 @@ class TestStraighten:
             np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-10)
 
 
-class TestRefinedSolver:
+class TestScaledCholSolver:
     def test_matches_direct_f64_solve(self, rng):
-        """solve_sym_refined (the TPU path: f32 LU + f64 refinement) must
-        agree with jnp.linalg.solve on a realistically-scaled damped JtJ."""
+        """solve_sym_scaled_chol (the TPU path: Jacobi-scaled f64 Cholesky)
+        must agree with jnp.linalg.solve on a realistically-scaled damped
+        JtJ."""
         import jax.numpy as jnp
 
-        from openpano_tpu.camera.bundle_adjuster import solve_sym_refined
+        from openpano_tpu.camera.bundle_adjuster import solve_sym_scaled_chol
 
         n = 96
         J = rng.normal(size=(400, n))
@@ -221,5 +222,5 @@ class TestRefinedSolver:
         A += np.diag(np.full(n, 10.0))
         b = rng.normal(size=n) * scales
         x_ref = np.linalg.solve(A, b)
-        x = np.asarray(solve_sym_refined(jnp.asarray(A), jnp.asarray(b)))
+        x = np.asarray(solve_sym_scaled_chol(jnp.asarray(A), jnp.asarray(b)))
         np.testing.assert_allclose(x, x_ref, rtol=1e-9, atol=1e-12)

@@ -32,18 +32,24 @@ def tiny_cfg_file(tmp_path_factory):
     # config.cfg (init_config, main.cc:237-292)
     d = tmp_path_factory.mktemp("cli_cfg")
     p = str(d / "config.cfg")
+    from openpano_tpu.config import Config
+
+    # a config file must carry every reference knob (missing key is fatal,
+    # lib/config.cc:31-35); start from the defaults and override the
+    # fast-test knobs.  NUM_SCALE must stay >= default: with a short scale
+    # stack the scanned |DoG| level sits next to the much-larger level 0
+    # and nothing survives the 26-neighbor test (same as the reference).
+    values = {k: getattr(Config, k) for k in Config.REFERENCE_KNOBS}
+    values.update(
+        SIFT_WORKING_SIZE=200, NUM_OCTAVE=2, NUM_SCALE=7,
+        PRE_COLOR_THRES=2e-2, CONTRAST_THRES=2e-2,
+        MAX_CAND_PER_OCTAVE=256, MAX_KP_PER_OCTAVE=128,
+        MAX_DESC_PER_OCTAVE=128, MAX_KP_PER_IMAGE=256,
+        MAX_MATCHES_PER_PAIR=128, RANSAC_ITERATIONS=64,
+    )
     with open(p, "w") as f:
-        f.write(
-            # NUM_SCALE must stay >= default: with a short scale stack the
-            # scanned |DoG| level sits next to the much-larger level 0 and
-            # nothing survives the 26-neighbor test (same as the reference)
-            "SIFT_WORKING_SIZE 200\n"
-            "NUM_OCTAVE 2\nNUM_SCALE 7\n"
-            "PRE_COLOR_THRES 2e-2\nCONTRAST_THRES 2e-2\n"
-            "MAX_CAND_PER_OCTAVE 256\nMAX_KP_PER_OCTAVE 128\n"
-            "MAX_DESC_PER_OCTAVE 128\nMAX_KP_PER_IMAGE 256\n"
-            "MAX_MATCHES_PER_PAIR 128\nRANSAC_ITERATIONS 64\n"
-        )
+        for k, v in values.items():
+            f.write(f"{k} {int(v) if isinstance(v, bool) else v}\n")
     return p
 
 

@@ -50,6 +50,37 @@ class TestEstimateCameraEndToEnd:
         assert valid.mean() > 0.3
 
 
+class TestHeterogeneousSizes:
+    def test_stitch_mixed_resolutions(self):
+        """Mixed-size inputs (reference: per-image shapes via ImageRef,
+        stitch/imageref.hh:13-35): every other view downscaled to 80%.
+        Shape-bucketed features + sentinel-padded blend stack must still
+        produce the full pano."""
+        import jax.numpy as jnp
+
+        from openpano_tpu.ops.imgproc import resize
+        from openpano_tpu.stitch.stitcher import stitch_hetero
+
+        cfg = Config(ESTIMATE_CAMERA=True, ORDERED_INPUT=False, **SMALL)
+        scene = photo_scene()
+        views, _ = render_views(
+            scene, 5, out_w=320, out_h=240, hfov_deg=32, overlap=0.5
+        )
+        imgs = []
+        for k in range(5):
+            if k % 2 == 1:
+                imgs.append(np.asarray(resize(jnp.asarray(views[k]), 192, 256)))
+            else:
+                imgs.append(views[k])
+        out = stitch_hetero(imgs, cfg)
+        # same pano span as the uniform test, anchored on a full-res center
+        assert out.shape[1] == pytest.approx(3.0 * 320, rel=0.25)
+        assert 150 <= out.shape[0] <= 450
+        cropped = crop_to_largest_rect(out)
+        assert cropped.size > 0 and (cropped >= 0).all()
+        assert cropped.shape[1] > 2.0 * 320
+
+
 class TestTransEndToEnd:
     def test_stitch_translation(self):
         """TRANS mode: translating camera over a flat scene (affine model)."""

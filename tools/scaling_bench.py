@@ -1,14 +1,14 @@
 #!/usr/bin/env python
 """Scaling-efficiency benchmark over a device mesh.
 
-Runs the sharded pipeline step (features -> matching -> RANSAC -> BA
-normal equations -> blended canvas) on 1..N devices of the available
-mesh and reports wall time + scaling efficiency per mesh size, plus the
-distributed-BA LM iteration rate.  On real hardware N devices ride ICI;
-offline it exercises the identical partitioning logic on virtual CPU
-devices (JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8).
+Runs the REAL sharded pipeline (stitch_sharded: SIFT -> matching ->
+RANSAC -> incremental LM BA -> planned sharded blend) on 1..N devices and
+reports wall time + scaling efficiency per mesh size.  On real hardware N
+devices ride ICI; offline it exercises the identical partitioning logic on
+virtual CPU devices (JAX_PLATFORMS=cpu
+XLA_FLAGS=--xla_force_host_platform_device_count=8).
 
-Usage: python tools/scaling_bench.py [--devices 1 2 4 8] [--images 16]
+Usage: python tools/scaling_bench.py [--devices 1 2 4 8] [--images 8]
 """
 
 from __future__ import annotations
@@ -26,7 +26,9 @@ sys.path.insert(0, REPO)
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--devices", type=int, nargs="+", default=None)
-    ap.add_argument("--images", type=int, default=16)
+    ap.add_argument("--images", type=int, default=8)
+    ap.add_argument("--size", type=int, nargs=2, default=(320, 240),
+                    metavar=("W", "H"))
     ap.add_argument("--repeat", type=int, default=3)
     args = ap.parse_args()
 
@@ -38,51 +40,41 @@ def main() -> None:
     if os.environ.get("JAX_PLATFORMS") == "cpu":
         jax.config.update("jax_platforms", "cpu")
 
-    import jax.numpy as jnp
     import numpy as np
 
     from openpano_tpu import Config
     from openpano_tpu.parallel.mesh import make_mesh
-    from openpano_tpu.parallel.pipeline import sharded_pipeline_step
+    from openpano_tpu.parallel.pipeline import stitch_sharded
+    from openpano_tpu.synth import photo_scene, render_views
 
     navail = len(jax.devices())
     sizes = args.devices or [d for d in (1, 2, 4, 8, 16) if d <= navail]
 
     cfg = Config(
-        SIFT_WORKING_SIZE=64, NUM_OCTAVE=2, NUM_SCALE=4,
-        MAX_CAND_PER_OCTAVE=256, MAX_KP_PER_OCTAVE=128,
-        MAX_DESC_PER_OCTAVE=128, MAX_KP_PER_IMAGE=256,
-        MAX_MATCHES_PER_PAIR=128, RANSAC_ITERATIONS=64,
-        OVERLAP_AREA_GRID=16,
+        ESTIMATE_CAMERA=True, ORDERED_INPUT=False,
+        RANSAC_ITERATIONS=400, SIFT_WORKING_SIZE=300,
+        MAX_CAND_PER_OCTAVE=1024, MAX_KP_PER_OCTAVE=512,
+        MAX_DESC_PER_OCTAVE=512, MAX_KP_PER_IMAGE=1024,
+        MAX_MATCHES_PER_PAIR=512,
     )
-    n = args.images
-    rng = np.random.default_rng(0)
-    base = rng.uniform(size=(96, 96 + 8 * n, 3)).astype(np.float32)
-    imgs = np.stack([base[:, 8 * k: 8 * k + 96] for k in range(n)])
-    whs = jnp.asarray([[96.0, 96.0]] * n, jnp.float32)
-    ii, jj = [], []
-    for a in range(n):
-        for b in range(a + 1, min(a + 3, n)):
-            ii.append(a)
-            jj.append(b)
-    ii = jnp.asarray(ii, jnp.int32)
-    jj = jnp.asarray(jj, jnp.int32)
+    w, h = args.size
+    views, _ = render_views(
+        photo_scene(), args.images, out_w=w, out_h=h, hfov_deg=30,
+        overlap=0.6, seed=3,
+    )
+    views = np.asarray(views, np.float32)
     key = jax.random.PRNGKey(0)
 
     results = []
     t1 = None
     for nd in sizes:
         mesh = make_mesh(nd)
-        run = lambda: sharded_pipeline_step(
-            jnp.asarray(imgs), whs, ii, jj, key, cfg, mesh
-        )
-        out = run()
-        jax.block_until_ready(out["canvas"])  # compile + warm
+        run = lambda: stitch_sharded(views, cfg, mesh, key=key)
+        canvas = run()  # compile + warm
         ts = []
         for _ in range(args.repeat):
             t0 = time.perf_counter()
-            out = run()
-            jax.block_until_ready(out["canvas"])
+            canvas = run()
             ts.append(time.perf_counter() - t0)
         dt = min(ts)
         if t1 is None:
@@ -92,6 +84,7 @@ def main() -> None:
             "devices": nd, "step_s": round(dt, 4),
             "speedup": round(t1 / dt, 3),
             "efficiency": round(eff, 3),
+            "canvas": list(canvas.shape[:2]),
         })
         print(json.dumps(results[-1]), flush=True)
 
