@@ -98,6 +98,44 @@ def estimate_focal(confidences: np.ndarray, homos: np.ndarray) -> float:
     return (estimates[ne >> 1] + estimates[(ne >> 1) - 1]) * 0.5
 
 
+def estimate_focal_robust(confidences: np.ndarray, homos: np.ndarray) -> float:
+    """Mode-seeking focal estimate — an intentional improvement over the
+    reference's plain median (camera.cc:69-87).
+
+    The closed-form per-pair extraction (focal_from_homography) is bimodal
+    under noise when rotations are small: the candidate-selection branches
+    pick a garbage root for roughly half the pairs, and failed extractions
+    contribute hard zeros.  The reference medians over ALL estimates
+    (zeros included), which lands in the garbage mode on narrow-step
+    panoramas and seeds bundle adjustment in the wrong basin (measured:
+    f_init 613 vs truth 1786 -> 23 px mean reprojection error after BA;
+    a good init -> <1 px.  The reference binary lands in the same wrong
+    basin on the same dataset).  True estimates cluster tightly; garbage
+    spreads, so: take the densest +-15% multiplicative cluster of the
+    nonzero estimates and return its median.  Falls back to the reference
+    median when there are too few nonzero estimates."""
+    n = confidences.shape[0]
+    ests = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            if confidences[i, j] > 1e-6:
+                ests.append(focal_from_homography(homos[i, j]))
+    if len(ests) < min(n - 1, 3):
+        return -1.0                                # camera.cc:80-81
+    nz = np.sort(np.asarray([e for e in ests if e > 0]))
+    if len(nz) < 3:
+        ests.sort()
+        ne = len(ests)
+        return float(ests[ne >> 1]) if ne % 2 else \
+            float(ests[ne >> 1] + ests[(ne >> 1) - 1]) * 0.5
+    counts = np.asarray(
+        [((nz >= f / 1.15) & (nz <= f * 1.15)).sum() for f in nz]
+    )
+    f = nz[int(np.argmax(counts))]
+    cluster = nz[(nz >= f / 1.15) & (nz <= f * 1.15)]
+    return float(np.median(cluster))
+
+
 def straighten(cams: CameraSet) -> CameraSet:
     """Global up-vector correction (camera.cc:146-183): the corrected Y axis
     is the null-space direction of the covariance of camera X-axes; X is

@@ -22,7 +22,13 @@ import numpy as np
 from ..config import Config
 from ..utils.timer import total_timer
 from .bundle_adjuster import BAPairProblem, ba_optimize_pairs
-from .camera import CameraSet, estimate_focal, intrinsic, straighten
+from .camera import (
+    CameraSet,
+    estimate_focal,
+    estimate_focal_robust,
+    intrinsic,
+    straighten,
+)
 from .rotation import GEO_EPS_SQR
 
 
@@ -122,7 +128,9 @@ def estimate_cameras(
     the whole incremental schedule (the BA-LM-iters/s benchmark metric)."""
     n = confidence.shape[0]
 
-    focal = estimate_focal(confidence, homos)
+    focal = (estimate_focal_robust if cfg.ROBUST_FOCAL else estimate_focal)(
+        confidence, homos
+    )
     if focal > 0:
         focals = np.full(n, focal)
     else:

@@ -94,6 +94,13 @@ class Config:
     # f64 is software-emulated with a heavy compile.  The device path stays
     # available for the distributed large-scale BA (set False).
     BA_ON_HOST: bool = True
+    # Mode-seeking initial-focal estimate instead of the reference's plain
+    # median over per-pair closed-form extractions (camera.cc:69-87).  The
+    # extraction is bimodal under noise on narrow-step panoramas and the
+    # contaminated median seeds BA in the wrong basin (see
+    # camera.estimate_focal_robust).  Set False for bit-faithful reference
+    # behavior.
+    ROBUST_FOCAL: bool = True
     # Stream the u8 linear blend as column-band groups whose finalized
     # strips download (copy_to_host_async) while later bands compute.
     # On the tunneled TPU the download overlap wins ~0.5 s on the headline

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import Config
-from ..camera.camera import estimate_focal, intrinsic
+from ..camera.camera import estimate_focal, estimate_focal_robust, intrinsic
 from ..camera.estimator import estimate_cameras
 from ..geometry.ransac import estimate_transform_batch
 from ..io.transfer import fetch
@@ -410,7 +410,9 @@ def _build_linear_simple(graph: PairwiseGraph, n: int, mid: int,
 
     f = -1.0
     if not cfg.TRANS:                             # stitcher.cc:180-181
-        f = estimate_focal(graph.conf, graph.homo)
+        f = (estimate_focal_robust if cfg.ROBUST_FOCAL else estimate_focal)(
+            graph.conf, graph.homo
+        )
     if f <= 0:
         f = 0.5 * (whs[mid, 0] + whs[mid, 1])     # stitcher.cc:182-184
     M = np.diag([1.0 / f, 1.0 / f, 1.0])

@@ -96,6 +96,47 @@ class TestFocal:
         homos = np.zeros((4, 4, 3, 3))
         assert estimate_focal(conf, homos) == -1.0
 
+    def test_robust_focal_ignores_garbage_mode(self, rng):
+        """estimate_focal_robust must land in the dense true cluster even
+        when a majority of extractions are scattered garbage or zeros (the
+        small-rotation failure mode that poisons the reference's plain
+        median — see camera.estimate_focal_robust)."""
+        from openpano_tpu.camera.camera import estimate_focal_robust
+
+        f = 1786.0
+        n = 20
+        conf = np.zeros((n, n))
+        homos = np.zeros((n, n, 3, 3))
+        K = intrinsic(f, 0, 0)
+        k = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                if k >= 60:
+                    break
+                conf[i, j] = conf[j, i] = 1.0
+                if k % 3 == 0:  # true cluster (1/3 of pairs)
+                    R, _ = rand_rotation(rng, 0.3)
+                    H = K @ R @ np.linalg.inv(K)
+                else:  # garbage mode: small-rotation extraction artifacts
+                    fg = rng.uniform(250, 900)
+                    Kg = intrinsic(fg, 0, 0)
+                    R, _ = rand_rotation(rng, 0.3)
+                    H = Kg @ R @ np.linalg.inv(Kg)
+                homos[i, j] = H / H[2, 2]
+                k += 1
+        est = estimate_focal_robust(conf, homos)
+        # the garbage 250-900 spread outnumbers the true cluster 2:1, but
+        # no +-15% window inside it is denser than the true mode
+        assert est == pytest.approx(f, rel=0.1)
+        # plain reference median lands in the garbage mode on this data
+        assert estimate_focal(conf, homos) < 1000
+
+    def test_robust_focal_matches_median_when_clean(self, rng):
+        from openpano_tpu.camera.camera import estimate_focal_robust
+
+        conf, homos, *_, f, _ = synth_rotation_pano(rng)
+        assert estimate_focal_robust(conf, homos) == pytest.approx(f, rel=0.05)
+
 
 class TestTraverse:
     def test_spanning_tree_order(self):
