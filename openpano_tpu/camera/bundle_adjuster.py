@@ -340,9 +340,13 @@ def solve_sym_scaled_chol(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 def _lm_solve(A, rhs, device_solver: bool):
-    if device_solver:
-        return solve_sym_scaled_chol(A, rhs)
-    return jnp.linalg.solve(A, rhs[:, None])[:, 0]
+    """The damped system is SPD (split damping, .cc:240-248), so the
+    Jacobi-scaled Cholesky path is used on every backend — ~2.5x faster
+    than the generic f64 LU on the host CPU and the only f64 solve that
+    lowers on TPU.  ``device_solver`` is kept for call-site documentation
+    only; both branches now share the same math."""
+    del device_solver
+    return solve_sym_scaled_chol(A, rhs)
 
 
 @functools.partial(
@@ -486,18 +490,29 @@ def _pairs_normal_equations(params, resid_w, prob: BAPairProblem, n_cam):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_cam", "lm_lambda", "device_solver", "return_iters"),
+    static_argnames=(
+        "n_cam", "lm_lambda", "device_solver", "return_iters", "adaptive",
+        "max_iter",
+    ),
 )
 def ba_optimize_pairs(params: jnp.ndarray, prob: BAPairProblem,
                       identity_idx: jnp.ndarray, n_cam: int,
                       lm_lambda: float,
                       device_solver: bool = False,
-                      return_iters: bool = False) -> jnp.ndarray:
+                      return_iters: bool = False,
+                      adaptive: bool = False,
+                      max_iter: int = LM_MAX_ITER) -> jnp.ndarray:
     """LM loop (optimize(), .cc:117-168) over a pair-major problem.  Same
     semantics as :func:`ba_optimize`: fixed split damping, identity-camera
     rotation freeze, >1e-3 RMS improvement acceptance, stop after 5
     consecutive non-improvements, residuals for J^T r taken from the most
-    recently *evaluated* state (reference quirk)."""
+    recently *evaluated* state (reference quirk).
+
+    ``adaptive=True`` (Config.BA_ADAPTIVE_LM) replaces the reference's
+    FIXED damping with classic Marquardt scheduling — accepted step
+    divides lambda by 3, rejected multiplies by 4 (clamped positive for
+    the SPD solve).  Same objective and acceptance rule, typically 2-4x
+    fewer iterations to the same minimum."""
     # solve_sym_scaled_chol needs A = JtJ + diag(damp) SPD (see its doc)
     assert lm_lambda > 0, "LM damping must be positive (SPD precondition)"
     dtype = params.dtype
@@ -506,7 +521,9 @@ def ba_optimize_pairs(params: jnp.ndarray, prob: BAPairProblem,
     upd_mask = jnp.ones((n_cam, 6), dtype)
     upd_mask = upd_mask.at[identity_idx, 3:].set(0.0)
     upd_mask = upd_mask.reshape(-1)
-    damp = jnp.where(jnp.arange(n_cam * 6) % 6 >= 3, lm_lambda, lm_lambda / 10.0)
+    # unit split-damping profile: lambda for rotations, lambda/10 for
+    # intrinsics (.cc:240-248); scaled by the (possibly adapted) lambda
+    damp_unit = jnp.where(jnp.arange(n_cam * 6) % 6 >= 3, 1.0, 0.1)
 
     def rms(r, wm):
         npts = jnp.sum(wm > 0) * 2.0
@@ -516,15 +533,15 @@ def ba_optimize_pairs(params: jnp.ndarray, prob: BAPairProblem,
     err0 = rms(r0, wm0)
 
     def cond(carry):
-        _, _, _, nr_nd, itr = carry
-        return (itr < LM_MAX_ITER) & (nr_nd <= NR_NON_DECREASE)
+        _, _, _, nr_nd, itr, _ = carry
+        return (itr < max_iter) & (nr_nd <= NR_NON_DECREASE)
 
     def body(carry):
-        best_flat, resid, best_err, nr_nd, itr = carry
+        best_flat, resid, best_err, nr_nd, itr, lam = carry
         JtJ, Jtb = _pairs_normal_equations(
             best_flat.reshape(n_cam, 6), resid, prob, n_cam
         )
-        A = JtJ + jnp.diag(damp)
+        A = JtJ + jnp.diag(damp_unit * lam)
         delta = _lm_solve(A, Jtb, device_solver)
         new_flat = best_flat - delta * upd_mask
         new_r, wm = _pairs_residuals(new_flat.reshape(n_cam, 6), prob)
@@ -533,10 +550,16 @@ def ba_optimize_pairs(params: jnp.ndarray, prob: BAPairProblem,
         best_flat = jnp.where(improved, new_flat, best_flat)
         best_err = jnp.where(improved, new_err, best_err)
         nr_nd = jnp.where(improved, 0, nr_nd + 1)
-        return best_flat, new_r, best_err, nr_nd, itr + 1
+        if adaptive:
+            lam = jnp.clip(
+                jnp.where(improved, lam / 3.0, lam * 4.0), 1e-4, 1e8
+            )
+        return best_flat, new_r, best_err, nr_nd, itr + 1, lam
 
-    init = (flat0, r0, err0, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
-    best_flat, _, _, _, itr = jax.lax.while_loop(cond, body, init)
+    lam0 = jnp.asarray(lm_lambda, dtype)
+    init = (flat0, r0, err0, jnp.zeros((), jnp.int32),
+            jnp.zeros((), jnp.int32), lam0)
+    best_flat, _, _, _, itr, _ = jax.lax.while_loop(cond, body, init)
     out = best_flat.reshape(n_cam, 6)
     if return_iters:
         return out, itr

@@ -192,8 +192,12 @@ def estimate_cameras(
 
     n_active = 0
 
-    def run_ba():
+    def run_ba(max_iter=None):
+        from .bundle_adjuster import LM_MAX_ITER
+
         nonlocal params
+        if max_iter is None:
+            max_iter = LM_MAX_ITER
         if n_active == 0:
             return
         # prefix bucket: smallest power-of-two >= active count (min 8),
@@ -224,14 +228,16 @@ def estimate_cameras(
                 out = ba_optimize_pairs_sharded(
                     jnp.asarray(params), prob, jnp.asarray(root), n,
                     cfg.LM_LAMBDA, mesh, return_iters=want_iters,
+                    adaptive=cfg.BA_ADAPTIVE_LM, max_iter=max_iter,
                 )
             else:
                 out = ba_optimize_pairs(
                     jnp.asarray(params), prob, jnp.asarray(root), n,
                     cfg.LM_LAMBDA,
-                    # TPU placement needs the Jacobi-scaled Cholesky solver
                     device_solver=not cfg.BA_ON_HOST,
                     return_iters=want_iters,
+                    adaptive=cfg.BA_ADAPTIVE_LM,
+                    max_iter=max_iter,
                 )
             if want_iters:
                 out, iters = out
@@ -242,6 +248,11 @@ def estimate_cameras(
                 )
             else:
                 params = np.array(out)
+
+    # intermediate incremental runs only need to keep the initialization
+    # healthy — the final full-depth polish below does the convergence work
+    # (cfg.BA_INTERMEDIATE_ITERS; reference runs every pass to LM_MAX_ITER)
+    inter_iters = cfg.BA_INTERMEDIATE_ITERS
 
     visited = {root}
     for now, nxt in edges:
@@ -261,9 +272,9 @@ def estimate_cameras(
                 if (min(i, nxt), max(i, nxt)) in conn:
                     n_active += 1
                     if cfg.MULTIPASS_BA == 2:
-                        run_ba()                  # BA after each connection
+                        run_ba(inter_iters)       # BA after each connection
             if cfg.MULTIPASS_BA == 1:
-                run_ba()                          # BA after each image
+                run_ba(inter_iters)               # BA after each image
 
     if cfg.MULTIPASS_BA == 0:                     # camera_estimator.cc:92-99
         # one global BA; the reference adds every pair as add_match(i, j)
@@ -271,6 +282,8 @@ def estimate_cameras(
         pair_swapped[:] = False
         n_active = len(activation)
         run_ba()
+    elif inter_iters < 100:
+        run_ba()                                  # final full-depth polish
 
     cams = CameraSet(
         focal=params[:, 0].copy(),

@@ -101,6 +101,22 @@ class Config:
     # camera.estimate_focal_robust).  Set False for bit-faithful reference
     # behavior.
     ROBUST_FOCAL: bool = True
+    # Marquardt-scheduled LM damping (accept /3, reject x4) instead of the
+    # reference's fixed lambda (incremental_bundle_adjuster.cc:240-248).
+    # Same objective/acceptance; typically 2-4x fewer LM iterations.  Set
+    # False for bit-faithful reference stepping.
+    # Adaptive Marquardt lambda scheduling (accept /3, reject x4) instead
+    # of the reference's fixed lambda: reaches a slightly lower minimum
+    # but takes MORE accepted steps under the reference's >1e-3 acceptance
+    # rule, so it costs time.  Off by default; turn on when camera quality
+    # matters more than latency.
+    BA_ADAPTIVE_LM: bool = False
+    # Iteration cap for the INTERMEDIATE incremental-BA runs (the
+    # per-image/per-connection passes of MULTIPASS_BA, whose only job is
+    # keeping the next camera initialization healthy); a final run always
+    # polishes at the full LM_MAX_ITER=100 depth.  The reference runs every
+    # pass to 100 (incremental_bundle_adjuster.cc:24) — set 100 to match.
+    BA_INTERMEDIATE_ITERS: int = 15
     # Stream the u8 linear blend as column-band groups whose finalized
     # strips download (copy_to_host_async) while later bands compute.
     # On the tunneled TPU the download overlap wins ~0.5 s on the headline

@@ -41,7 +41,9 @@ def _pad_pairs(prob: BAPairProblem, mult: int) -> BAPairProblem:
 def ba_optimize_pairs_sharded(params, prob: BAPairProblem, identity_idx,
                               n_cam: int, lm_lambda: float,
                               mesh: Mesh,
-                              return_iters: bool = False) -> jnp.ndarray:
+                              return_iters: bool = False,
+                              adaptive: bool = False,
+                              max_iter: int | None = None) -> jnp.ndarray:
     """Run the full LM loop with pairs sharded over the mesh's first axis.
 
     Semantics identical to :func:`ba_optimize_pairs` (same compiled loop —
@@ -69,5 +71,9 @@ def ba_optimize_pairs_sharded(params, prob: BAPairProblem, identity_idx,
     # CPU/GPU meshes solve in native f64 so the sharded result is
     # bit-comparable to the single-device path.
     on_tpu = mesh.devices.flat[0].platform == "tpu"
+    from ..camera.bundle_adjuster import LM_MAX_ITER
+
     return ba_optimize_pairs(params, prob, identity_idx, n_cam, lm_lambda,
-                             device_solver=on_tpu, return_iters=return_iters)
+                             device_solver=on_tpu, return_iters=return_iters,
+                             adaptive=adaptive,
+                             max_iter=LM_MAX_ITER if max_iter is None else max_iter)
