@@ -192,12 +192,14 @@ def estimate_cameras(
 
     n_active = 0
 
-    def run_ba(max_iter=None):
+    def run_ba(max_iter=None, adaptive=None):
         from .bundle_adjuster import LM_MAX_ITER
 
         nonlocal params
         if max_iter is None:
             max_iter = LM_MAX_ITER
+        if adaptive is None:
+            adaptive = cfg.BA_ADAPTIVE_LM
         if n_active == 0:
             return
         # prefix bucket: smallest power-of-two >= active count (min 8),
@@ -228,7 +230,7 @@ def estimate_cameras(
                 out = ba_optimize_pairs_sharded(
                     jnp.asarray(params), prob, jnp.asarray(root), n,
                     cfg.LM_LAMBDA, mesh, return_iters=want_iters,
-                    adaptive=cfg.BA_ADAPTIVE_LM, max_iter=max_iter,
+                    adaptive=adaptive, max_iter=max_iter,
                 )
             else:
                 out = ba_optimize_pairs(
@@ -236,7 +238,7 @@ def estimate_cameras(
                     cfg.LM_LAMBDA,
                     device_solver=not cfg.BA_ON_HOST,
                     return_iters=want_iters,
-                    adaptive=cfg.BA_ADAPTIVE_LM,
+                    adaptive=adaptive,
                     max_iter=max_iter,
                 )
             if want_iters:

@@ -212,7 +212,11 @@ def _tile_jobs(plan: RenderPlan, groups: int, TH: int = _TILE_H,
     writes columns < g*SW, so strip g is final once bands <= g are done).
 
     ``exact=True`` keeps G == groups even when bands come out empty — the
-    mesh-sharded blender needs exactly one band per device.
+    mesh-sharded blender needs exactly one band per device — and forces
+    SW >= TW so a band-g tile can spill at most ONE strip to the right
+    (the sharded blender's single neighbor halo exchange relies on this;
+    with SW < TW a tile would spill across two strips and the far columns
+    would be silently lost).
 
     Returns (G, SW, Hp, Wp, band_jobs) where band_jobs[g] is
     (idx [J], rng [J,4] f32 true bboxes, org [J,2] i32 tile origins)."""
@@ -225,7 +229,9 @@ def _tile_jobs(plan: RenderPlan, groups: int, TH: int = _TILE_H,
 
     G = groups if (exact or len(it) >= 2 * groups) else 1
     SW = -(-(-(-Wp // G)) // 128) * 128  # ceil(Wp/G) rounded up to 128
-    if not exact:
+    if exact:
+        SW = max(SW, -(-TW // 128) * 128)
+    else:
         while (G - 1) * SW >= Wp:  # last strip must be non-empty
             G -= 1
     Wp = G * SW  # pad so every strip slice stays in bounds

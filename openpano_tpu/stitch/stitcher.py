@@ -349,8 +349,14 @@ def _stitch_core(imgs, feats, whs_np: np.ndarray, cfg: Config, key,
             else:
                 result = canvas
         elif output == "u8" and cfg.MULTIBAND == 0 and cfg.STREAM_BLEND:
+            import os as _os
+
             # streamed path: column-strip downloads overlap blend compute
-            rgba = blend_linear_stream_u8(imgs, plan, ordered=cfg.ORDERED_INPUT)
+            rgba = blend_linear_stream_u8(
+                imgs, plan, ordered=cfg.ORDERED_INPUT,
+                packed_gather=_os.environ.get(
+                    "OPENPANO_PACKED_GATHER", "0") == "1",
+            )
             result = (rgba[..., :3], rgba[..., 3] > 0)
         else:
             with total_timer("blend_compute"):
