@@ -111,6 +111,15 @@ def main():
     stage_s = {lbl: round(s, 3) for lbl, (_, s) in sorted(
         stage_totals.items(), key=lambda kv: -kv[1][1]) if s > 0.005}
 
+    # on-TPU Pallas-vs-XLA-fallback kernel parity (VERDICT r1 #8): asserted
+    # per round rather than assumed from the bench having run
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tools"))
+    import tpu_kernel_check
+
+    kernel_parity = tpu_kernel_check.check()
+    assert kernel_parity["ok"], kernel_parity
+
     img_per_s = n / dt
     baseline = 38 / 51.0  # reference CMU0 headline (BASELINE.md)
     print(json.dumps({
@@ -128,6 +137,7 @@ def main():
             "mean_reproj_err_px": round(reproj, 3),
             "final_size": [int(out.shape[1]), int(out.shape[0])],
             "stage_s": stage_s,
+            "kernel_parity": kernel_parity,
             "peak_rss_mb": round(timer.peak_rss_mb(), 1),
         },
     }))

@@ -21,9 +21,15 @@ reference's in-RoI invalid pixels; the first level is built sequentially
 to avoid gathering an [M,H,W,3] image copy).  Validity at every level is
 the *first-level* w>0 mask, as in the reference.  One deliberate
 deviation: a wrap-split image's two strips blur independently, so the
-+-pi seam column lacks the reference's cross-seam blur support (the
-reference never wraps — it shifts negative angular ranges instead,
-stitcher_image.cc:93-98).
++-pi seam column lacks the reference's cross-seam blur support
+(quantified by tests/test_multiband.py::test_wrap_seam_continuity: the
+canvas stays continuous across the seam).
+
+Scale note (v5e, 38-image 8000x691 headline): this plane design measures
+0.95 s vs the tile-job linear streamer's 1.33 s — the single coherent
+gather pass per item plus XLA convs beats per-tile gathers, so no
+tile-job restructuring is needed; the uniform [Rh,Rw] slab padding costs
+~6% here (bbox spread is small on a yaw pano).
 """
 
 from __future__ import annotations
