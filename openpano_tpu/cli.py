@@ -265,11 +265,31 @@ def mode_stitch(args, cfg):
         # mixed sizes: per-shape feature buckets + sentinel-padded blend
         from .stitch.stitcher import stitch_hetero
 
-        canvas, valid = stitch_hetero(imgs, cfg, key, output="u8")
+        info = {}
+        canvas, valid = stitch_hetero(imgs, cfg, key, output="u8",
+                                      info_out=info)
     else:
-        canvas, valid = stitch(np.stack(imgs), cfg, key, output="u8")
+        info = {}
+        canvas, valid = stitch(np.stack(imgs), cfg, key, output="u8",
+                               info_out=info)
     print(f"Stitched in {time.time()-t0:.2f}s")
     print(f"Final Image Size: ({canvas.shape[1]}, {canvas.shape[0]})")
+    if info:
+        # structured per-stage metrics (SURVEY §5.5): counts + residuals in
+        # one machine-readable line alongside the human-readable prints
+        import json
+
+        metrics = {
+            "kpt_counts": [int(c) for c in info.get("kpt_counts", [])],
+            "connected_pairs": info.get("connected_pairs"),
+            "total_inliers": info.get("total_inliers"),
+            "ba_rms_px": round(info["ba_rms_px"], 4)
+            if "ba_rms_px" in info else None,
+            "ba_pairs": info.get("ba_pairs"),
+            "ba_lm_iters": info.get("lm_iters"),
+            "final_size": [int(canvas.shape[1]), int(canvas.shape[0])],
+        }
+        print("metrics: " + json.dumps(metrics))
 
     if cfg.CROP:
         from .ops.imgproc import crop_with_mask

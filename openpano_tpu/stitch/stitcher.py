@@ -235,7 +235,7 @@ def stitch(imgs: np.ndarray, cfg: Config, key=None, output: str = "f32",
 
 
 def stitch_hetero(imgs_list, cfg: Config, key=None, output: str = "f32",
-                  mesh=None):
+                  mesh=None, info_out: dict | None = None):
     """Stitch images of MIXED sizes (reference: per-image shapes throughout
     — ImageRef caches each file's own w/h, stitch/imageref.hh:13-35, and
     StitcherBase::calc_feature handles them independently,
@@ -291,7 +291,8 @@ def stitch_hetero(imgs_list, cfg: Config, key=None, output: str = "f32",
         imgs_dev = jnp.asarray(stack)
         jax.block_until_ready(imgs_dev)
 
-    return _stitch_core(imgs_dev, feats, whs_np, cfg, key, output, mesh)
+    return _stitch_core(imgs_dev, feats, whs_np, cfg, key, output, mesh,
+                        info_out)
 
 
 def _stitch_core(imgs, feats, whs_np: np.ndarray, cfg: Config, key,
@@ -312,6 +313,12 @@ def _stitch_core(imgs, feats, whs_np: np.ndarray, cfg: Config, key,
         graph = build_pairwise_graph(
             feats, whs, cfg, key, ordered=cfg.ORDERED_INPUT,
             affine=cfg.TRANS, mesh=mesh,
+        )
+    if info_out is not None:
+        conn = graph.conf > 0
+        info_out["connected_pairs"] = int(np.triu(conn, 1).sum())
+        info_out["total_inliers"] = int(
+            (graph.valid & conn[:, :, None]).sum() // 2
         )
 
     if cfg.ESTIMATE_CAMERA:

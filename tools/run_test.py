@@ -35,19 +35,28 @@ def generate_dataset(d: str, n: int = 6) -> None:
 
 
 def write_config(d: str, mode: str) -> str:
+    """Full config file: every reference knob must be present (missing key
+    is fatal, matching lib/config.cc:31-35)."""
+    sys.path.insert(0, REPO)
+    from openpano_tpu.config import Config
+
+    values = {k: getattr(Config, k) for k in Config.REFERENCE_KNOBS}
+    values.update({
+        "cylinder": dict(CYLINDER=1, ESTIMATE_CAMERA=0, TRANS=0,
+                         ORDERED_INPUT=1),
+        "camera": dict(CYLINDER=0, ESTIMATE_CAMERA=1, TRANS=0,
+                       ORDERED_INPUT=0),
+    }[mode])
+    values.update(
+        SIFT_WORKING_SIZE=400, RANSAC_ITERATIONS=400,
+        MAX_KP_PER_IMAGE=1024, MAX_MATCHES_PER_PAIR=512,
+        MAX_CAND_PER_OCTAVE=1024, MAX_KP_PER_OCTAVE=512,
+        MAX_DESC_PER_OCTAVE=512,
+    )
     cfg = os.path.join(d, "config.cfg")
-    lines = {
-        "cylinder": ["CYLINDER 1", "ESTIMATE_CAMERA 0", "TRANS 0", "ORDERED_INPUT 1"],
-        "camera": ["CYLINDER 0", "ESTIMATE_CAMERA 1", "TRANS 0", "ORDERED_INPUT 0"],
-    }[mode]
-    lines += [
-        "SIFT_WORKING_SIZE 400", "RANSAC_ITERATIONS 400",
-        "MAX_KP_PER_IMAGE 1024", "MAX_MATCHES_PER_PAIR 512",
-        "MAX_CAND_PER_OCTAVE 1024", "MAX_KP_PER_OCTAVE 512",
-        "MAX_DESC_PER_OCTAVE 512",
-    ]
     with open(cfg, "w") as f:
-        f.write("\n".join(lines) + "\n")
+        for k, v in values.items():
+            f.write(f"{k} {int(v) if isinstance(v, bool) else v}\n")
     return cfg
 
 
