@@ -169,13 +169,18 @@ def estimate_transform_batch(
     whs: jnp.ndarray,
     ii: jnp.ndarray, jj: jnp.ndarray,
     key: jnp.ndarray, cfg: Config, affine: bool,
+    keys: jnp.ndarray | None = None,
 ) -> MatchInfo:
     """vmap of estimate_transform over a flat pair axis.
 
     matches: MatchResult batched over P pairs; pos/valid: [N,K,2]/[N,K];
-    whs: [N,2]; ii/jj: [P] image indices per pair."""
+    whs: [N,2]; ii/jj: [P] image indices per pair.  ``keys`` (optional
+    [P, ...] per-pair PRNG keys) overrides the internal split — pass the
+    original slots' keys when running a compacted pair subset so results
+    don't depend on the compaction."""
     P = ii.shape[0]
-    keys = jax.random.split(key, P)
+    if keys is None:
+        keys = jax.random.split(key, P)
 
     def one(m, i, j, k):
         return estimate_transform(

@@ -75,6 +75,7 @@ def build_pairwise_graph(feats, whs, cfg: Config, key, ordered: bool,
     else:
         ii, jj = pair_indices(n)
 
+    pair_ii, pair_jj = ii, jj                      # slots the infos refer to
     if mesh is not None:
         small, big, P_, M = _match_ransac_sharded(
             feats, whs, ii, jj, key, cfg, affine, mesh
@@ -87,10 +88,41 @@ def build_pairwise_graph(feats, whs, cfg: Config, key, ordered: bool,
                 res = match_all_pairs(feats.desc, feats.valid, cfg)
             jax.block_until_ready(res)
 
+        # pairs below the RANSAC minimum can never connect
+        # (transform_estimate.cc:21,39 rejects < ESTIMATE_MIN_NR_MATCH);
+        # on an unordered all-pairs graph most pairs share no overlap, so
+        # compact the pair list before the expensive hypothesis batch.
+        # The tiny count fetch costs one roundtrip; RANSAC + the packed
+        # match download then scale with CONNECTED pairs, not C(n,2).
+        from ..geometry.ransac import ESTIMATE_MIN_NR_MATCH
+
+        counts = np.asarray(res.count)
+        keep = np.nonzero(counts >= ESTIMATE_MIN_NR_MATCH)[0]
+        if len(keep) < len(ii):
+            pad = -len(keep) % 64 if len(keep) else 1  # bucketed shapes
+            keep_p = np.concatenate([keep, np.zeros(pad, np.int64)])
+            kd = jnp.asarray(keep_p)
+            res_k = jax.tree_util.tree_map(lambda x: x[kd], res)
+            # mask the padding slots empty so their RANSAC fails cheaply
+            pmask = jnp.arange(len(keep_p)) < len(keep)
+            res_k = res_k._replace(
+                valid=res_k.valid & pmask[:, None],
+                count=jnp.where(pmask, res_k.count, 0),
+            )
+            ii_r = [ii[k] for k in keep_p]
+            jj_r = [jj[k] for k in keep_p]
+            pair_ii, pair_jj = ii_r[: len(keep)], jj_r[: len(keep)]
+        else:
+            keep_p = np.arange(len(ii))
+            res_k, ii_r, jj_r = res, ii, jj
+
         with total_timer("ransac"):
+            # keys by ORIGINAL pair slot so compaction never changes draws
+            keys_full = jax.random.split(key, len(ii))
             infos = estimate_transform_batch(
-                res, feats.pos, feats.valid, whs,
-                jnp.asarray(ii), jnp.asarray(jj), key, cfg, affine,
+                res_k, feats.pos, feats.valid, whs,
+                jnp.asarray(ii_r), jnp.asarray(jj_r), key, cfg, affine,
+                keys=keys_full[jnp.asarray(keep_p)],
             )
             small, big = _pack_infos(infos)
             jax.block_until_ready(big)
@@ -100,9 +132,9 @@ def build_pairwise_graph(feats, whs, cfg: Config, key, ordered: bool,
     # data — coords are exactly representable in f32) instead of per-leaf
     # transfers
     with total_timer("match_fetch"):
-        small = np.asarray(small)[: len(ii)]
-        big = fetch(big)[: len(ii)]
-    P = len(ii)
+        small = np.asarray(small)[: len(pair_ii)]
+        big = fetch(big)[: len(pair_ii)]
+    P = len(pair_ii)
     homo = small[:, :9].reshape(P, 3, 3)
     conf = small[:, 9]
     to_pos = big[:, : 2 * M].reshape(P, M, 2).astype(np.float64)
@@ -110,12 +142,18 @@ def build_pairwise_graph(feats, whs, cfg: Config, key, ordered: bool,
     pvalid = big[:, 4 * M :] > 0.5
 
     graph = PairwiseGraph(n, M)
-    for p, (i, j) in enumerate(zip(ii, jj)):
-        succ = graph.fill_pair(
+    filled = {}
+    for p, (i, j) in enumerate(zip(pair_ii, pair_jj)):
+        filled[(i, j)] = graph.fill_pair(
             i, j, conf[p], homo[p], to_pos[p], from_pos[p], pvalid[p]
         )
-        if ordered and not succ and i != n - 1:
-            raise RuntimeError(f"Image {i} and {j} don't match")
+    if ordered:
+        # linear_pairwise_match: an unmatched adjacent pair is fatal except
+        # the head-tail wrap (stitcher.cc:127); compacted-away pairs count
+        # as unmatched
+        for i, j in zip(ii, jj):
+            if i != n - 1 and not filled.get((i, j), False):
+                raise RuntimeError(f"Image {i} and {j} don't match")
     return graph
 
 
@@ -156,7 +194,11 @@ def _match_ransac_sharded(feats, whs, ii, jj, key, cfg: Config, affine: bool,
 
     pair_sh = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
-    keys = jax.device_put(jax.random.split(key, len(ii_p)), pair_sh)
+    # per ORIGINAL pair slot (padding reuses slot 0 — dummy pairs fail the
+    # min-match gate regardless), matching the unsharded path's assignment
+    keys_full = jax.random.split(key, p_real)
+    slot = np.concatenate([np.arange(p_real), np.zeros(r, np.int64)])
+    keys = jax.device_put(keys_full[jnp.asarray(slot)], pair_sh)
     ii_d = jax.device_put(jnp.asarray(ii_p), pair_sh)
     jj_d = jax.device_put(jnp.asarray(jj_p), pair_sh)
     desc = jax.device_put(feats.desc, repl)
