@@ -205,23 +205,35 @@ def _poly_rect_intersects(poly: np.ndarray, x0, y0, x1, y1, margin=8.0) -> bool:
 
 
 def _tile_jobs(plan: RenderPlan, groups: int, TH: int = _TILE_H,
-               TW: int = _TILE_W, exact: bool = False):
-    """Flat list of [TH, TW] tile jobs covering every item's bbox, skipping
-    tiles the item's projected hull never touches, partitioned into
-    ``groups`` column bands (band = tile x-origin // SW; a band-g job never
-    writes columns < g*SW, so strip g is final once bands <= g are done).
+               TW: int = _TILE_W, exact: bool = False,
+               item_slabs: bool = False):
+    """Flat list of [TH, TW] jobs partitioned into ``groups`` column bands
+    (band = job x-origin // SW; a band-g job never writes columns < g*SW,
+    so strip g is final once bands <= g are done).
+
+    Two job geometries:
+      - tile jobs (default): each item's bbox covered by fixed [TH, TW]
+        tiles, skipping tiles the item's projected hull never touches;
+      - ``item_slabs=True``: ONE job per render item sized to the max item
+        bbox (TH/TW ignored).  One big gather per item beats many small
+        per-tile gathers on TPU (~0.9 s vs ~1.3 s on the 38-image
+        headline: XLA gather throughput improves with op size), at the
+        cost of slab padding when item bboxes vary a lot.
 
     ``exact=True`` keeps G == groups even when bands come out empty — the
     mesh-sharded blender needs exactly one band per device — and forces
-    SW >= TW so a band-g tile can spill at most ONE strip to the right
+    SW >= TW so a band-g job can spill at most ONE strip to the right
     (the sharded blender's single neighbor halo exchange relies on this;
-    with SW < TW a tile would spill across two strips and the far columns
+    with SW < TW a job would spill across two strips and the far columns
     would be silently lost).
 
-    Returns (G, SW, Hp, Wp, band_jobs) where band_jobs[g] is
-    (idx [J], rng [J,4] f32 true bboxes, org [J,2] i32 tile origins)."""
+    Returns (G, SW, Hp, Wp, TH, TW, band_jobs) where band_jobs[g] is
+    (idx [J], rng [J,4] f32 true bboxes, org [J,2] i32 job origins)."""
     it = plan.items
     r = it[:, 1:5]
+    if item_slabs:
+        TH = -(-int(np.maximum(r[:, 3] - r[:, 1], 1).max()) // 8) * 8
+        TW = -(-int(np.maximum(r[:, 2] - r[:, 0], 1).max()) // 128) * 128
     oy_max = -(-plan.out_h // 8) * 8
     ox_max = -(-plan.out_w // 128) * 128
     Hp = oy_max + TH
@@ -229,9 +241,10 @@ def _tile_jobs(plan: RenderPlan, groups: int, TH: int = _TILE_H,
 
     G = groups if (exact or len(it) >= 2 * groups) else 1
     SW = -(-(-(-Wp // G)) // 128) * 128  # ceil(Wp/G) rounded up to 128
-    if exact:
+    if exact or item_slabs:
+        # streaming/sharding correctness: one job spills <= one strip
         SW = max(SW, -(-TW // 128) * 128)
-    else:
+    if not exact:
         while (G - 1) * SW >= Wp:  # last strip must be non-empty
             G -= 1
     Wp = G * SW  # pad so every strip slice stays in bounds
@@ -241,6 +254,14 @@ def _tile_jobs(plan: RenderPlan, groups: int, TH: int = _TILE_H,
     jobs_o: list[list[tuple[int, int]]] = [[] for _ in range(G)]
     for s in range(len(it)):
         x0, y0, x1, y1 = r[s]
+        if item_slabs:
+            ox = min(max(int(x0), 0), ox_max)
+            oy = min(max(int(y0), 0), oy_max)
+            g = min(ox // SW, G - 1)
+            jobs_i[g].append(it[s, 0])
+            jobs_r[g].append(r[s])
+            jobs_o[g].append((ox, oy))
+            continue
         hull = plan.hulls[s] if plan.hulls else None
         ys = range(max(int(y0), 0), max(int(min(y1, plan.out_h)), 0), TH)
         xs = range(max(int(x0), 0), max(int(min(x1, plan.out_w)), 0), TW)
@@ -271,22 +292,24 @@ def _tile_jobs(plan: RenderPlan, groups: int, TH: int = _TILE_H,
                 np.zeros((0, 4), np.float32),
                 np.zeros((0, 2), np.int32),
             ))
-    return G, SW, Hp, Wp, band_jobs
+    return G, SW, Hp, Wp, TH, TW, band_jobs
 
 
 def blend_linear(imgs: jnp.ndarray, plan: RenderPlan, ordered: bool,
-                 packed_gather: bool = False) -> jnp.ndarray:
+                 packed_gather: bool = False,
+                 item_slabs: bool = True) -> jnp.ndarray:
     """imgs: [N, Hp, Wp, 3] stack padded with the INVALID sentinel beyond
     each image's (whs) extent.  Returns the blended [out_h, out_w, 3] canvas
     with INVALID where nothing was rendered.
 
-    One scan step per [TH, TW] tile job (fixed-size tiles covering each
-    item's bbox, hull-filtered — see _tile_jobs) accumulates into the
-    canvas; work scales with actually-covered area rather than the max
-    bbox, ~2x less gather traffic on a spherical pano.  Jobs run in the
-    same band-major order as the streamed blender, keeping the two paths
-    bit-identical."""
-    G, SW, Hp, Wp, band_jobs = _tile_jobs(plan, groups=4)
+    One scan step per job accumulates into the canvas.  Default geometry is
+    ONE max-bbox slab job per render item — a single large gather per item
+    is ~1.5x faster than covering the bbox with [256,256] tiles on TPU
+    (gather throughput grows with op size); set item_slabs=False for the
+    tile cover (less overdraw when item bboxes vary wildly)."""
+    G, SW, Hp, Wp, TH, TW, band_jobs = _tile_jobs(
+        plan, groups=4, item_slabs=item_slabs
+    )
     if packed_gather:
         imgs = pack_imgs_u8(imgs)
     idx = np.concatenate([b[0] for b in band_jobs])
@@ -303,7 +326,7 @@ def blend_linear(imgs: jnp.ndarray, plan: RenderPlan, ordered: bool,
         jnp.asarray(org),
         jnp.asarray(plan.proj_min, jnp.float32),
         jnp.asarray(plan.resolution, jnp.float32),
-        plan.proj, ordered, _TILE_H, _TILE_W,
+        plan.proj, ordered, TH, TW,
     )
     return _finalize_canvas(color_acc, w_acc, plan.out_h, plan.out_w)
 
@@ -513,15 +536,19 @@ def _strip_u8_i32(color_acc, w_acc, start, out_h: int, SW: int):
 
 def blend_linear_stream_u8(imgs: jnp.ndarray, plan: RenderPlan,
                            ordered: bool, groups: int = 4,
-                           packed_gather: bool = False) -> np.ndarray:
+                           packed_gather: bool = False,
+                           item_slabs: bool = True) -> np.ndarray:
     """Streamed linear blend straight to a host RGBA uint8 canvas.
 
-    Items are sorted by bbox x-start and split into `groups` column bands;
-    after band g's accumulation, columns [g*SW, (g+1)*SW) can never be
-    touched again, so that strip is normalized + u8-packed on device and
-    its host copy starts (copy_to_host_async) while later bands still
-    compute — hiding most of the slow tunnel download behind blend work."""
-    G, SW, Hp, Wp, band_jobs = _tile_jobs(plan, groups=groups)
+    Jobs (item slabs by default — see blend_linear) are split into
+    `groups` column bands by x-origin; later bands never write columns
+    < their own strip start, so after band g's accumulation strip g is
+    final — it is normalized + u8-packed on device and its host copy
+    starts (copy_to_host_async) while later bands still compute, hiding
+    most of the slow tunnel download behind blend work."""
+    G, SW, Hp, Wp, TH, TW, band_jobs = _tile_jobs(
+        plan, groups=groups, item_slabs=item_slabs
+    )
     if packed_gather:
         imgs = pack_imgs_u8(imgs)
 
@@ -549,7 +576,7 @@ def blend_linear_stream_u8(imgs: jnp.ndarray, plan: RenderPlan,
             color_acc, w_acc, imgs, homo_invs, whs,
             jnp.asarray(g_idx[g]), jnp.asarray(g_rng[g]),
             jnp.asarray(g_org[g]), proj_min, resolution,
-            plan.proj, ordered, _TILE_H, _TILE_W,
+            plan.proj, ordered, TH, TW,
         )
         strip = _strip_u8_i32(
             color_acc, w_acc, jnp.int32(g * SW), plan.out_h, SW
@@ -581,8 +608,7 @@ def blend_linear_sharded(imgs: jnp.ndarray, plan: RenderPlan, ordered: bool,
     empty)."""
     axis = mesh.axis_names[0]
     nd = int(mesh.devices.size)
-    TH, TW = _TILE_H, _TILE_W
-    G, SW, Hp, Wp, band_jobs = _tile_jobs(plan, groups=nd, exact=True)
+    G, SW, Hp, Wp, TH, TW, band_jobs = _tile_jobs(plan, groups=nd, exact=True)
     assert G == nd
 
     # pad per-band job lists to one fixed capacity (dummies: empty bboxes)

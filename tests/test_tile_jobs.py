@@ -56,7 +56,7 @@ class TestTileJobs:
     def test_bbox_fully_covered(self):
         items = np.array([[0, 37, 19, 801, 333]])
         hulls = [_rect_hull(37, 19, 801, 333)]
-        G, SW, Hp, Wp, band_jobs = _tile_jobs(_plan(items, hulls), groups=4)
+        G, SW, Hp, Wp, _TH, _TW, band_jobs = _tile_jobs(_plan(items, hulls), groups=4)
         covered = np.zeros((400, 1000), bool)
         from openpano_tpu.stitch.render import _TILE_H, _TILE_W
 
@@ -69,7 +69,7 @@ class TestTileJobs:
         # a band-g job must never write columns left of g*SW
         items = np.array([[0, 0, 0, 1000, 400], [0, 500, 100, 900, 300]])
         hulls = [_rect_hull(0, 0, 1000, 400), _rect_hull(500, 100, 900, 300)]
-        G, SW, Hp, Wp, band_jobs = _tile_jobs(_plan(items, hulls), groups=4)
+        G, SW, Hp, Wp, _TH, _TW, band_jobs = _tile_jobs(_plan(items, hulls), groups=4)
         for g, (bi, br, bo) in enumerate(band_jobs):
             if len(bi):
                 assert (bo[:, 0] >= g * SW).all()
@@ -79,9 +79,9 @@ class TestTileJobs:
         # skipped
         items = np.array([[0, 0, 0, 1000, 400]])
         diag = np.array([[0, 0], [60, 0], [1000, 400], [940, 400]], float)
-        G, SW, Hp, Wp, jobs_d = _tile_jobs(_plan(items, [diag]), groups=1)
+        G, SW, Hp, Wp, _TH, _TW, jobs_d = _tile_jobs(_plan(items, [diag]), groups=1)
         full = [_rect_hull(0, 0, 1000, 400)]
-        _, _, _, _, jobs_f = _tile_jobs(_plan(items, full), groups=1)
+        _, _, _, _, _, _, jobs_f = _tile_jobs(_plan(items, full), groups=1)
         n_diag = sum(len(b[0]) for b in jobs_d)
         n_full = sum(len(b[0]) for b in jobs_f)
         assert 0 < n_diag < n_full
@@ -89,5 +89,5 @@ class TestTileJobs:
     def test_empty_bbox_emits_no_jobs(self):
         items = np.array([[0, 50, 50, 50, 200]])  # zero width
         hulls = [_rect_hull(50, 50, 50, 200)]
-        _, _, _, _, band_jobs = _tile_jobs(_plan(items, hulls), groups=2)
+        _, _, _, _, _, _, band_jobs = _tile_jobs(_plan(items, hulls), groups=2)
         assert sum(len(b[0]) for b in band_jobs) == 0
