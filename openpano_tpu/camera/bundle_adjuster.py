@@ -511,8 +511,9 @@ def ba_optimize_pairs(params: jnp.ndarray, prob: BAPairProblem,
     ``adaptive=True`` (Config.BA_ADAPTIVE_LM) replaces the reference's
     FIXED damping with classic Marquardt scheduling — accepted step
     divides lambda by 3, rejected multiplies by 4 (clamped positive for
-    the SPD solve).  Same objective and acceptance rule, typically 2-4x
-    fewer iterations to the same minimum."""
+    the SPD solve).  Same objective and acceptance rule; measured: it
+    reaches a slightly lower minimum but keeps finding >1e-3 improvements
+    longer, so it takes MORE iterations (see Config.BA_ADAPTIVE_LM)."""
     # solve_sym_scaled_chol needs A = JtJ + diag(damp) SPD (see its doc)
     assert lm_lambda > 0, "LM damping must be positive (SPD precondition)"
     dtype = params.dtype

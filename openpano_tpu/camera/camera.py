@@ -118,16 +118,13 @@ def estimate_focal_robust(confidences: np.ndarray, homos: np.ndarray) -> float:
     ests = []
     for i in range(n):
         for j in range(i + 1, n):
-            if confidences[i, j] > 1e-6:
+            if confidences[i, j] >= 1e-6:          # camera.cc:75 (EPS gate)
                 ests.append(focal_from_homography(homos[i, j]))
     if len(ests) < min(n - 1, 3):
         return -1.0                                # camera.cc:80-81
     nz = np.sort(np.asarray([e for e in ests if e > 0]))
-    if len(nz) < 3:
-        ests.sort()
-        ne = len(ests)
-        return float(ests[ne >> 1]) if ne % 2 else \
-            float(ests[ne >> 1] + ests[(ne >> 1) - 1]) * 0.5
+    if len(nz) < 3:  # too few usable extractions: reference median
+        return estimate_focal(confidences, homos)
     counts = np.asarray(
         [((nz >= f / 1.15) & (nz <= f * 1.15)).sum() for f in nz]
     )

@@ -290,16 +290,21 @@ def estimate_cameras(
     if stats is not None and len(activation):
         # final self-consistency residual over all active pairs (the
         # structured-metrics analog of the reference's per-iteration
-        # "BA: Error ..." print, incremental_bundle_adjuster.cc:150)
+        # "BA: Error ..." print, incremental_bundle_adjuster.cc:150);
+        # same placement as the LM solves — f64 on a TPU default device
+        # would software-emulate (see Config.BA_ON_HOST)
         from .bundle_adjuster import _pairs_residuals
 
-        prob_all = BAPairProblem(
-            pt_to=jnp.asarray(pt_to_slab), pt_from=jnp.asarray(pt_from_slab),
-            w=jnp.asarray(w_slab), cam_to=jnp.asarray(cam_a),
-            cam_from=jnp.asarray(cam_b), swapped=jnp.asarray(pair_swapped),
-            pair_w=jnp.ones(P),
-        )
-        r, wm = _pairs_residuals(jnp.asarray(params), prob_all)
+        with ba_ctx():
+            prob_all = BAPairProblem(
+                pt_to=jnp.asarray(pt_to_slab),
+                pt_from=jnp.asarray(pt_from_slab),
+                w=jnp.asarray(w_slab), cam_to=jnp.asarray(cam_a),
+                cam_from=jnp.asarray(cam_b),
+                swapped=jnp.asarray(pair_swapped),
+                pair_w=jnp.ones(P),
+            )
+            r, wm = _pairs_residuals(jnp.asarray(params), prob_all)
         npts = float((np.asarray(wm) > 0).sum())
         stats["ba_rms_px"] = float(
             np.sqrt(np.sum(np.asarray(r) ** 2) / max(npts * 2.0, 1.0))

@@ -252,24 +252,21 @@ def mode_stitch(args, cfg):
 
     t0 = time.time()
     key = jax.random.PRNGKey(args.seed)
+    info = {}
     if cfg.CYLINDER:
         if len(shapes) != 1:
             raise SystemExit("CYLINDER mode requires uniform image sizes")
+        from .stitch.stitcher import _f32_to_u8
+
         canvas = stitch_cylinder(np.stack(imgs), cfg, key)
-        valid = canvas[..., 0] >= 0
-        canvas = np.where(
-            canvas < 0, np.uint8(255),
-            np.round(np.clip(canvas, 0, 1) * 255).astype(np.uint8),
-        )
+        canvas, valid = (np.asarray(a) for a in _f32_to_u8(canvas))
     elif len(shapes) != 1:
         # mixed sizes: per-shape feature buckets + sentinel-padded blend
         from .stitch.stitcher import stitch_hetero
 
-        info = {}
         canvas, valid = stitch_hetero(imgs, cfg, key, output="u8",
                                       info_out=info)
     else:
-        info = {}
         canvas, valid = stitch(np.stack(imgs), cfg, key, output="u8",
                                info_out=info)
     print(f"Stitched in {time.time()-t0:.2f}s")

@@ -101,15 +101,12 @@ class Config:
     # camera.estimate_focal_robust).  Set False for bit-faithful reference
     # behavior.
     ROBUST_FOCAL: bool = True
-    # Marquardt-scheduled LM damping (accept /3, reject x4) instead of the
-    # reference's fixed lambda (incremental_bundle_adjuster.cc:240-248).
-    # Same objective/acceptance; typically 2-4x fewer LM iterations.  Set
-    # False for bit-faithful reference stepping.
     # Adaptive Marquardt lambda scheduling (accept /3, reject x4) instead
-    # of the reference's fixed lambda: reaches a slightly lower minimum
-    # but takes MORE accepted steps under the reference's >1e-3 acceptance
-    # rule, so it costs time.  Off by default; turn on when camera quality
-    # matters more than latency.
+    # of the reference's fixed lambda (incremental_bundle_adjuster.cc:
+    # 240-248): reaches a slightly lower minimum but takes MORE accepted
+    # steps under the reference's >1e-3 acceptance rule, so it costs time.
+    # Off by default; turn on when camera quality matters more than
+    # latency.
     BA_ADAPTIVE_LM: bool = False
     # Iteration cap for the INTERMEDIATE incremental-BA runs (the
     # per-image/per-connection passes of MULTIPASS_BA, whose only job is
@@ -140,8 +137,9 @@ class Config:
 
     # knobs the reference's init_config() reads with the fatal CFG() macro
     # (main.cc:237-292); a config file missing any of these aborts there
-    # (lib/config.cc:31-35), so we match — minus LAZY_READ, which has no
-    # meaning in the batched TPU memory model.
+    # (lib/config.cc:31-35), so we match — minus LAZY_READ, which is an
+    # accepted-but-optional field here (the batched TPU memory model has
+    # its own strategy; see Config.LAZY_READ).
     REFERENCE_KNOBS = (
         "CYLINDER", "TRANS", "ESTIMATE_CAMERA", "ORDERED_INPUT", "CROP",
         "STRAIGHTEN", "FOCAL_LENGTH", "MAX_OUTPUT_SIZE", "SIFT_WORKING_SIZE",
@@ -179,8 +177,7 @@ class Config:
                     continue
                 key, val = parts[0], float(parts[1])
                 if key not in field_map:
-                    if key != "LAZY_READ":  # reference-only memory knob
-                        warnings.warn(f"config {path}: unknown key {key!r}")
+                    warnings.warn(f"config {path}: unknown key {key!r}")
                     continue
                 ftype = field_map[key].type
                 if ftype in ("bool", bool):

@@ -27,8 +27,6 @@ mesh, annotate, let the compiler place all-gathers/psums on ICI).
 
 from __future__ import annotations
 
-import jax
-
 from ..config import Config
 from ..stitch.stitcher import stitch
 

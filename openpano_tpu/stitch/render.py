@@ -599,10 +599,16 @@ def blend_linear_sharded(imgs: jnp.ndarray, plan: RenderPlan, ordered: bool,
     One column band per device: device g owns canvas columns
     [g*SW, (g+1)*SW) and runs exactly the band-g tile jobs of `_tile_jobs`
     into a local strip with a TW halo.  A band-g tile can spill at most TW
-    columns into strip g+1, so a single ppermute of the halo over the mesh
-    axis (ICI neighbor exchange — the system's only halo) completes the
-    accumulation exactly.  Same per-pixel math as `blend_linear`; device
-    count only changes f32 accumulation *order*.
+    columns into strip g+1 (SW >= TW is enforced), so a single ppermute of
+    the halo over the mesh axis (ICI neighbor exchange — the system's only
+    halo) completes the accumulation exactly.  Same per-pixel math as
+    `blend_linear`; device count only changes f32 accumulation *order*.
+
+    Known limitation: the image stack is REPLICATED to every device
+    (in_specs P()) — canvas memory shards, image memory does not.  The
+    per-band item lists already say which images each device needs; a
+    per-band sliced stack (bounded by images-per-band, not N) is the next
+    scaling step when image count outgrows one device's HBM.
 
     Returns the blended [out_h, out_w, 3] canvas (host numpy, INVALID where
     empty)."""
@@ -621,55 +627,61 @@ def blend_linear_sharded(imgs: jnp.ndarray, plan: RenderPlan, ordered: bool,
         g_rng[g, : len(bi)] = br
         g_org[g, : len(bi)] = bo
 
-    from jax.sharding import PartitionSpec as P
-
-    @functools.partial(jax.jit, static_argnames=("proj", "ordered"))
-    def run(imgs, idx, rng, org, homo_invs, whs, proj_min, resolution,
-            proj: str, ordered: bool):
-        def body(imgs, idx, rng, org, homo_invs, whs, proj_min, resolution):
-            g = jax.lax.axis_index(axis)
-            # mark the accumulators device-varying (each device's strip
-            # holds different data) so the scan carry types line up
-            color_acc = jax.lax.pcast(
-                jnp.zeros((Hp, SW + TW, 3), jnp.float32), (axis,), to="varying"
-            )
-            w_acc = jax.lax.pcast(
-                jnp.zeros((Hp, SW + TW), jnp.float32), (axis,), to="varying"
-            )
-            color_acc, w_acc = _blend_scan(
-                color_acc, w_acc, imgs, homo_invs, whs,
-                idx[0], rng[0], org[0], proj_min, resolution,
-                proj, ordered, TH, TW,
-                slice_x0=(g * SW).astype(jnp.int32),
-            )
-            # neighbor halo exchange: strip g's spill-over columns belong
-            # to strip g+1 (the last strip never spills: Wp covers ox+TW)
-            perm = [(i, i + 1) for i in range(nd - 1)]
-            halo_c = jax.lax.ppermute(color_acc[:, SW:], axis, perm)
-            halo_w = jax.lax.ppermute(w_acc[:, SW:], axis, perm)
-            color_acc = color_acc.at[:, :TW].add(halo_c)
-            w_acc = w_acc.at[:, :TW].add(halo_w)
-            strip_c = color_acc[:, :SW]
-            strip_w = w_acc[:, :SW]
-            has = strip_w > 0
-            out = strip_c / jnp.where(has, strip_w, 1.0)[..., None]
-            return jnp.where(has[..., None], out, INVALID)
-
-        return jax.shard_map(
-            body, mesh=mesh,
-            in_specs=(P(), P(axis), P(axis), P(axis), P(), P(), P(), P()),
-            out_specs=P(None, axis),
-        )(imgs, idx, rng, org, homo_invs, whs, proj_min, resolution)
-
+    run = _sharded_blend_program(mesh, axis, nd, Hp, SW, TH, TW,
+                                 plan.proj, ordered)
     canvas = run(
         imgs.astype(jnp.float32),
         jnp.asarray(g_idx), jnp.asarray(g_rng), jnp.asarray(g_org),
         jnp.asarray(plan.homo_invs), jnp.asarray(plan.whs, jnp.float32),
         jnp.asarray(plan.proj_min, jnp.float32),
         jnp.asarray(plan.resolution, jnp.float32),
-        plan.proj, ordered,
     )
     return np.asarray(canvas)[: plan.out_h, : plan.out_w]
+
+
+@functools.lru_cache(maxsize=32)
+def _sharded_blend_program(mesh, axis: str, nd: int, Hp: int, SW: int,
+                           TH: int, TW: int, proj: str, ordered: bool):
+    """Build (and cache) the jitted shard_map program for one band
+    geometry — module-level cache so repeated calls with the same mesh
+    and canvas geometry reuse the compiled executable instead of
+    retracing a fresh closure every time."""
+    from jax.sharding import PartitionSpec as P
+
+    def body(imgs, idx, rng, org, homo_invs, whs, proj_min, resolution):
+        g = jax.lax.axis_index(axis)
+        # mark the accumulators device-varying (each device's strip
+        # holds different data) so the scan carry types line up
+        color_acc = jax.lax.pcast(
+            jnp.zeros((Hp, SW + TW, 3), jnp.float32), (axis,), to="varying"
+        )
+        w_acc = jax.lax.pcast(
+            jnp.zeros((Hp, SW + TW), jnp.float32), (axis,), to="varying"
+        )
+        color_acc, w_acc = _blend_scan(
+            color_acc, w_acc, imgs, homo_invs, whs,
+            idx[0], rng[0], org[0], proj_min, resolution,
+            proj, ordered, TH, TW,
+            slice_x0=(g * SW).astype(jnp.int32),
+        )
+        # neighbor halo exchange: strip g's spill-over columns belong
+        # to strip g+1 (the last strip never spills: Wp covers ox+TW)
+        perm = [(i, i + 1) for i in range(nd - 1)]
+        halo_c = jax.lax.ppermute(color_acc[:, SW:], axis, perm)
+        halo_w = jax.lax.ppermute(w_acc[:, SW:], axis, perm)
+        color_acc = color_acc.at[:, :TW].add(halo_c)
+        w_acc = w_acc.at[:, :TW].add(halo_w)
+        strip_c = color_acc[:, :SW]
+        strip_w = w_acc[:, :SW]
+        has = strip_w > 0
+        out = strip_c / jnp.where(has, strip_w, 1.0)[..., None]
+        return jnp.where(has[..., None], out, INVALID)
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis), P(), P(), P(), P()),
+        out_specs=P(None, axis),
+    ))
 
 
 def blend(imgs: jnp.ndarray, plan: RenderPlan, ordered: bool, multiband: int) -> jnp.ndarray:

@@ -13,6 +13,8 @@ incremental schedule; blending is the batched canvas renderer.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -172,18 +174,34 @@ def _pack_infos(infos):
     return small, big
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "affine"))
+def _match_ransac_pairs_jit(desc, valid, pos, whs, ii, jj, keys, cfg, affine):
+    """Per-pair match + RANSAC, vmapped over a flat (possibly sharded)
+    pair axis; module-level so the executable is cached across calls."""
+    from ..geometry.ransac import estimate_transform
+    from ..match.matcher import match_pair
+
+    def one(i, j, k):
+        m = match_pair(desc[i], valid[i], desc[j], valid[j], cfg)
+        return estimate_transform(
+            m, pos[i], valid[i], pos[j], valid[j],
+            whs[i], whs[j], k, cfg, affine,
+        )
+
+    infos = jax.vmap(one)(ii, jj, keys)
+    return _pack_infos(infos)
+
+
 def _match_ransac_sharded(feats, whs, ii, jj, key, cfg: Config, affine: bool,
                           mesh):
     """Match + RANSAC with the pair axis sharded over the mesh (the
     reference pair loop, stitcher.cc:96-114, as one GSPMD-partitioned
-    dispatch).  Pads the pair list to a mesh-size multiple (dummy (0,0)
-    self-pairs, dropped by the caller's truncation).  Returns packed
-    (small, big) buffers plus (P_padded, M)."""
-    import functools
-
+    dispatch).  Pads the pair list to a mesh-size multiple with (0, 0)
+    self-pairs whose outputs are computed (all shapes are fixed — there
+    is no work to skip) but dropped by the caller's truncation to the
+    real pair count.  Returns packed (small, big) buffers plus
+    (P_padded, M)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
-    from ..geometry.ransac import estimate_transform
-    from ..match.matcher import match_pair
 
     axis = mesh.axis_names[0]
     nd = int(mesh.devices.size)
@@ -194,8 +212,8 @@ def _match_ransac_sharded(feats, whs, ii, jj, key, cfg: Config, affine: bool,
 
     pair_sh = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
-    # per ORIGINAL pair slot (padding reuses slot 0 — dummy pairs fail the
-    # min-match gate regardless), matching the unsharded path's assignment
+    # per ORIGINAL pair slot (padding reuses slot 0's key; its result is
+    # truncated away), matching the unsharded path's assignment
     keys_full = jax.random.split(key, p_real)
     slot = np.concatenate([np.arange(p_real), np.zeros(r, np.int64)])
     keys = jax.device_put(keys_full[jnp.asarray(slot)], pair_sh)
@@ -206,20 +224,8 @@ def _match_ransac_sharded(feats, whs, ii, jj, key, cfg: Config, affine: bool,
     pos = jax.device_put(feats.pos, repl)
     whs_d = jax.device_put(jnp.asarray(whs), repl)
 
-    @functools.partial(jax.jit, static_argnames=("cfg", "affine"))
-    def run(desc, valid, pos, whs, ii, jj, keys, cfg, affine):
-        def one(i, j, k):
-            m = match_pair(desc[i], valid[i], desc[j], valid[j], cfg)
-            return estimate_transform(
-                m, pos[i], valid[i], pos[j], valid[j],
-                whs[i], whs[j], k, cfg, affine,
-            )
-
-        infos = jax.vmap(one)(ii, jj, keys)
-        return _pack_infos(infos)
-
     with total_timer("match+ransac_sharded"):
-        small, big = run(
+        small, big = _match_ransac_pairs_jit(
             desc, valid, pos, whs_d, ii_d, jj_d, keys, cfg, affine
         )
         jax.block_until_ready(big)
@@ -392,9 +398,8 @@ def _stitch_core(imgs, feats, whs_np: np.ndarray, cfg: Config, key,
                 imgs, plan, ordered=cfg.ORDERED_INPUT, mesh=mesh
             )
             if output == "u8":
-                valid = canvas[..., 0] >= 0
-                u8 = np.round(np.clip(canvas, 0.0, 1.0) * 255.0).astype(np.uint8)
-                result = (np.where(valid[..., None], u8, 255), valid)
+                u8, valid = _f32_to_u8(canvas)
+                result = (np.asarray(u8), np.asarray(valid))
             else:
                 result = canvas
         elif output == "u8" and cfg.MULTIBAND == 0 and cfg.STREAM_BLEND:
