@@ -53,12 +53,12 @@ def main():
     # u8; the write path wants u8) — 4x less host<->device traffic
     views = np.round(views[perm] * 255.0).astype(np.uint8)
 
-    # cold run (compile) then best of two timed warm runs — the tunneled
+    # cold run (compile) then best of three timed warm runs — the tunneled
     # transport's bandwidth swings minute-to-minute; best-of damps that
     out, valid = stitch(views, cfg, key=jax.random.PRNGKey(1), output="u8")
     dt = 1e30
     best = None
-    for _ in range(2):
+    for _ in range(3):
         timer.reset()
         info = {}
         t0 = time.time()

@@ -604,11 +604,10 @@ def blend_linear_sharded(imgs: jnp.ndarray, plan: RenderPlan, ordered: bool,
     halo) completes the accumulation exactly.  Same per-pixel math as
     `blend_linear`; device count only changes f32 accumulation *order*.
 
-    Known limitation: the image stack is REPLICATED to every device
-    (in_specs P()) — canvas memory shards, image memory does not.  The
-    per-band item lists already say which images each device needs; a
-    per-band sliced stack (bounded by images-per-band, not N) is the next
-    scaling step when image count outgrows one device's HBM.
+    Image memory shards too: each device receives only the images its
+    band's jobs reference, gathered into a [G, NI, H, W, 3] band-sliced
+    stack (NI = max distinct images per band, typically ~N/G + overlap) —
+    so adding devices adds both canvas AND image capacity.
 
     Returns the blended [out_h, out_w, 3] canvas (host numpy, INVALID where
     empty)."""
@@ -618,19 +617,26 @@ def blend_linear_sharded(imgs: jnp.ndarray, plan: RenderPlan, ordered: bool,
     assert G == nd
 
     # pad per-band job lists to one fixed capacity (dummies: empty bboxes)
+    # and remap job image indices into each band's own image slice
     IC = max(max(len(b[0]) for b in band_jobs), 1)
-    g_idx = np.zeros((G, IC), np.int32)
+    band_imgs = [np.unique(b[0]) if len(b[0]) else np.zeros(1, np.int64)
+                 for b in band_jobs]
+    NI = max(len(u) for u in band_imgs)
+    g_map = np.zeros((G, NI), np.int32)       # band slot -> global image
+    g_idx = np.zeros((G, IC), np.int32)       # job -> band slot
     g_rng = np.zeros((G, IC, 4), np.float32)
     g_org = np.zeros((G, IC, 2), np.int32)
     for g, (bi, br, bo) in enumerate(band_jobs):
-        g_idx[g, : len(bi)] = bi
+        u = band_imgs[g]
+        g_map[g, : len(u)] = u
+        g_idx[g, : len(bi)] = np.searchsorted(u, bi)
         g_rng[g, : len(bi)] = br
         g_org[g, : len(bi)] = bo
 
     run = _sharded_blend_program(mesh, axis, nd, Hp, SW, TH, TW,
                                  plan.proj, ordered)
     canvas = run(
-        imgs.astype(jnp.float32),
+        imgs.astype(jnp.float32), jnp.asarray(g_map),
         jnp.asarray(g_idx), jnp.asarray(g_rng), jnp.asarray(g_org),
         jnp.asarray(plan.homo_invs), jnp.asarray(plan.whs, jnp.float32),
         jnp.asarray(plan.proj_min, jnp.float32),
@@ -646,7 +652,9 @@ def _sharded_blend_program(mesh, axis: str, nd: int, Hp: int, SW: int,
     geometry — module-level cache so repeated calls with the same mesh
     and canvas geometry reuse the compiled executable instead of
     retracing a fresh closure every time."""
-    from jax.sharding import PartitionSpec as P
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    band_sh = NamedSharding(mesh, P(axis))
 
     def body(imgs, idx, rng, org, homo_invs, whs, proj_min, resolution):
         g = jax.lax.axis_index(axis)
@@ -659,7 +667,7 @@ def _sharded_blend_program(mesh, axis: str, nd: int, Hp: int, SW: int,
             jnp.zeros((Hp, SW + TW), jnp.float32), (axis,), to="varying"
         )
         color_acc, w_acc = _blend_scan(
-            color_acc, w_acc, imgs, homo_invs, whs,
+            color_acc, w_acc, imgs[0], homo_invs[0], whs[0],
             idx[0], rng[0], org[0], proj_min, resolution,
             proj, ordered, TH, TW,
             slice_x0=(g * SW).astype(jnp.int32),
@@ -677,11 +685,26 @@ def _sharded_blend_program(mesh, axis: str, nd: int, Hp: int, SW: int,
         out = strip_c / jnp.where(has, strip_w, 1.0)[..., None]
         return jnp.where(has[..., None], out, INVALID)
 
-    return jax.jit(jax.shard_map(
+    sharded = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(), P(axis), P(axis), P(axis), P(), P(), P(), P()),
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
+                  P(), P()),
         out_specs=P(None, axis),
-    ))
+    )
+
+    @jax.jit
+    def run(imgs, g_map, idx, rng, org, homo_invs, whs, proj_min,
+            resolution):
+        # band-slice the per-image data so each device holds only the
+        # images its jobs reference ([G, NI, ...], sharded over bands) —
+        # image memory scales with devices, not just canvas memory
+        imgs_b = jax.lax.with_sharding_constraint(imgs[g_map], band_sh)
+        hinv_b = jax.lax.with_sharding_constraint(homo_invs[g_map], band_sh)
+        whs_b = jax.lax.with_sharding_constraint(whs[g_map], band_sh)
+        return sharded(imgs_b, idx, rng, org, hinv_b, whs_b,
+                       proj_min, resolution)
+
+    return run
 
 
 def blend(imgs: jnp.ndarray, plan: RenderPlan, ordered: bool, multiband: int) -> jnp.ndarray:
