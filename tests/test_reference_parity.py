@@ -27,10 +27,12 @@ def test_reference_parity(tmp_path):
     per-image keypoint counts within 2x, camera reprojection error < 5 px
     vs synthetic ground truth."""
     paths, views, truth = ref_parity.render_dataset(str(tmp_path), 5, 320, 240)
-    ref_counts, ref_size, _ = ref_parity.run_reference(paths, str(tmp_path))
+    ref_counts, ref_size, ref_jpg = ref_parity.run_reference(
+        paths, str(tmp_path)
+    )
     # capacity caps well above the ~600 kpts/img this dataset yields —
     # smaller compiled shapes, same results, much faster on the CPU backend
-    our_counts, our_size, reproj = ref_parity.run_ours(
+    our_counts, our_size, reproj, our_canvas = ref_parity.run_ours(
         views, truth,
         MAX_CAND_PER_OCTAVE=1024, MAX_KP_PER_OCTAVE=512,
         MAX_DESC_PER_OCTAVE=512, MAX_KP_PER_IMAGE=1024,
@@ -45,3 +47,6 @@ def test_reference_parity(tmp_path):
     for rc, oc in zip(ref_counts, our_counts):
         assert ratio(rc, oc) > 0.5, (ref_counts, our_counts)
     assert reproj < 5.0
+    # content-level parity: the two panoramas must actually look alike
+    ncc = ref_parity.image_correlation(ref_jpg, our_canvas)
+    assert ncc > 0.5, ncc

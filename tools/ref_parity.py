@@ -57,7 +57,7 @@ def render_dataset(outdir: str, n: int, w: int, h: int, seed: int = 3):
 
 
 def run_reference(paths: list[str], workdir: str, timeout: int = 600):
-    """Run the reference binary; returns (feat_counts, (w, h), stdout+err)."""
+    """Run the reference binary; returns (feat_counts, (w, h), out_jpg)."""
     shutil.copy(REF_CONFIG, os.path.join(workdir, "config.cfg"))
     proc = subprocess.run(
         [REF_BINARY] + [os.path.abspath(p) for p in paths],
@@ -75,12 +75,37 @@ def run_reference(paths: list[str], workdir: str, timeout: int = 600):
         raise RuntimeError(f"no Final Image Size in reference output:\n{out[-2000:]}")
     size = (int(m.group(1)), int(m.group(2)))
     feat_counts = [counts[i] for i in sorted(counts)]
-    return feat_counts, size, out
+    return feat_counts, size, os.path.join(workdir, "out.jpg")
+
+
+def image_correlation(path_a: str, img_b) -> float:
+    """Normalized cross-correlation of two panoramas after resampling to a
+    common grid — a content-level (not just size-level) parity check.
+    img_b: uint8 array (our cropped canvas); path_a: the reference's
+    out.jpg.  Both canvases cover the same angular range from the same
+    input, so a global (unaligned) NCC is meaningful; small sub-percent
+    offsets only soften the score."""
+    import numpy as np
+    from PIL import Image
+
+    a = np.asarray(Image.open(path_a).convert("L").resize((512, 128)),
+                   np.float32)
+    b = np.asarray(
+        Image.fromarray(np.asarray(img_b)).convert("L").resize((512, 128)),
+        np.float32,
+    )
+
+    def norm(x):
+        x = x - x.mean()
+        return x / max(float(np.sqrt((x ** 2).mean())), 1e-6)
+
+    return float((norm(a) * norm(b)).mean())
 
 
 def run_ours(views, truth, **overrides):
     """Run our pipeline on the same data with the same config file.
-    Returns (feat_counts, (w, h), mean reprojection error px).
+    Returns (feat_counts, (w, h), mean reprojection error px,
+    cropped canvas uint8).
 
     ``overrides`` tune our framework-only capacity knobs (keypoint caps
     etc.) — they must not change reference-visible semantics."""
@@ -136,7 +161,19 @@ def run_ours(views, truth, **overrides):
         pe = pe[:, :2] / pe[:, 2:3]
         pg = pg[:, :2] / pg[:, 2:3]
         errs.append(np.linalg.norm(pe - pg, axis=1).mean())
-    return feat_counts, (plan.out_w, plan.out_h), float(np.mean(errs))
+
+    # the blended + cropped panorama for content-level comparison
+    from openpano_tpu.ops.imgproc import crop_with_mask
+    from openpano_tpu.stitch.render import blend
+
+    canvas = blend(imgs, plan, ordered=cfg.ORDERED_INPUT,
+                   multiband=cfg.MULTIBAND)
+    canvas = np.asarray(canvas)
+    valid = canvas[..., 0] >= 0
+    u8 = np.where(valid[..., None],
+                  np.round(np.clip(canvas, 0, 1) * 255).astype(np.uint8), 255)
+    cropped = crop_with_mask(u8, valid)
+    return feat_counts, (plan.out_w, plan.out_h), float(np.mean(errs)), cropped
 
 
 def main() -> int:
@@ -156,8 +193,8 @@ def main() -> int:
         paths, views, truth = render_dataset(
             tmp, args.views, args.size[0], args.size[1]
         )
-        ref_counts, ref_size, _ = run_reference(paths, tmp)
-        our_counts, our_size, reproj = run_ours(views, truth)
+        ref_counts, ref_size, ref_jpg = run_reference(paths, tmp)
+        our_counts, our_size, reproj, our_canvas = run_ours(views, truth)
 
         # gates
         def ratio(a, b):
@@ -168,8 +205,10 @@ def main() -> int:
         kp_ratios = [ratio(a, b) for a, b in zip(ref_counts, our_counts)]
         kp_ok = all(r > 0.5 for r in kp_ratios)
         reproj_ok = reproj < 5.0
+        ncc = image_correlation(ref_jpg, our_canvas)
+        ncc_ok = ncc > 0.5
         verdict = {
-            "ok": bool(size_ok and kp_ok and reproj_ok),
+            "ok": bool(size_ok and kp_ok and reproj_ok and ncc_ok),
             "ref_final_size": list(ref_size),
             "our_final_size": list(our_size),
             "size_ok": size_ok,
@@ -179,6 +218,8 @@ def main() -> int:
             "kp_ok": kp_ok,
             "mean_reproj_err_px": round(reproj, 3),
             "reproj_ok": reproj_ok,
+            "pixel_ncc": round(ncc, 3),
+            "ncc_ok": ncc_ok,
         }
         print(json.dumps(verdict))
         return 0 if verdict["ok"] else 1
