@@ -103,6 +103,19 @@ def main():
         os.makedirs(d, exist_ok=True)
         generate_dataset(d)
         run_one(d, mode, gw, gh)
+
+    # when the reference binary is built, the golden is the reference
+    # itself: cross-validate sizes/keypoints/pixels on a shared dataset
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import ref_parity
+
+    if os.path.exists(ref_parity.REF_BINARY):
+        rc = subprocess.run(
+            [sys.executable, ref_parity.__file__], timeout=1200
+        ).returncode
+        if rc != 0:
+            raise SystemExit("reference cross-validation failed")
+        print("reference-parity: OK")
     print("Test passed")
 
 
