@@ -58,8 +58,13 @@ def _roi_sizes(plan: RenderPlan) -> tuple[int, int]:
 @functools.partial(jax.jit, static_argnames=("proj", "rh", "rw"))
 def _first_level(imgs, homo_invs, whs, item_idx, ranges, proj_min, resolution,
                  proj: str, rh: int, rw: int):
-    """[M,Rh,Rw,4] (RGB + w) planes; w=0 marks invalid/padding pixels."""
+    """[M,Rh,Rw,4] (RGB + w) planes; w=0 marks invalid/padding pixels.
+    imgs may be [N,H,W,3] or the x-paired [N,H,W-1,6] layout
+    (render.pair_imgs_x — halves gather ops)."""
+    from .render import _sample_bilinear_paired
+
     _, proj2homo = PROJECTIONS[proj]
+    paired = imgs.shape[-1] == 6
     imgs = imgs.astype(jnp.float32)
 
     def one(args):
@@ -82,7 +87,10 @@ def _first_level(imgs, homo_invs, whs, item_idx, ranges, proj_min, resolution,
         zsafe = jnp.where(jnp.abs(z) > 1e-20, z, 1e-20)
         sx = ret[..., 0] / zsafe + wh[0] * 0.5
         sy = ret[..., 1] / zsafe + wh[1] * 0.5
-        color, ok = sample_bilinear(img, sy, sx)
+        if paired:
+            color, ok = _sample_bilinear_paired(img, sy, sx)
+        else:
+            color, ok = sample_bilinear(img, sy, sx)
         in_roi = (
             (jnp.arange(rw)[None, :] + x0 < rng[2])
             & (jnp.arange(rh)[:, None] + y0 < rng[3])
@@ -181,11 +189,14 @@ def _accumulate_level(cur, nxt, valid, ranges, target, visited,
 def blend_multiband(imgs: jnp.ndarray, plan: RenderPlan, band_level: int) -> jnp.ndarray:
     """Full multiband run (multiband.cc:59-123).  imgs: [N,Hp,Wp,3] padded
     with INVALID; returns [out_h,out_w,3] canvas with INVALID where empty."""
+    from .render import pair_imgs_x
+
     rh, rw = _roi_sizes(plan)
     item_idx = jnp.asarray(plan.items[:, 0])
     ranges = jnp.asarray(plan.items[:, 1:5])
     planes = _first_level(
-        imgs, jnp.asarray(plan.homo_invs), jnp.asarray(plan.whs, jnp.float32),
+        pair_imgs_x(imgs.astype(jnp.float32)),
+        jnp.asarray(plan.homo_invs), jnp.asarray(plan.whs, jnp.float32),
         item_idx, ranges, jnp.asarray(plan.proj_min, jnp.float32),
         jnp.asarray(plan.resolution, jnp.float32),
         plan.proj, rh, rw,
