@@ -149,7 +149,15 @@ def estimate_cameras(
     conn = {(i, j) for i in range(n) for j in range(i + 1, n)
             if confidence[i, j] > 0 and valid[i, j].any()}
 
+    # a pair's points are CHUNKED into fixed SLOT-point slots (a pair with
+    # 245 inliers fills 4 slots of the same camera pair) instead of one
+    # max-count-sized row per pair: the LM's per-iteration work then scales
+    # with sum(ceil(count/SLOT)*SLOT) ~ total points, not P * max(count) —
+    # ~2.5x less residual/JtJ arithmetic on typical inlier distributions.
+    # JtJ block scatter-adds handle the duplicated camera rows exactly.
+    SLOT = 64
     activation: list[tuple[tuple[int, int], bool]] = []  # (key, swapped)
+    act_slots: list[int] = []                     # slots per activation entry
     visited_sim = {root}
     for _, nxt in edges:
         visited_sim.add(nxt)
@@ -159,30 +167,35 @@ def estimate_cameras(
                 # stored orientation is to=key[0], from=key[1]; the schedule
                 # wants to=nxt (add_match(i, next): from=i, to=next, cc:76-88)
                 activation.append((key, key[1] == nxt))
+                cnt = int(valid[key].sum())
+                act_slots.append(max(-(-cnt // SLOT), 1))
+    slots_by_key = {k: ns for (k, _), ns in zip(activation, act_slots)}
 
-    P = max(len(activation), 1)
-    counts = [int(valid[a, b].sum()) for (a, b), _ in activation]
-    M = max(max(counts, default=1), 1)
-    M = -(-M // 64) * 64                          # bucket M: multiples of 64
+    P = max(sum(act_slots), 1)
+    M = SLOT
     if os.environ.get("OPENPANO_BA_DEBUG"):
-        c = np.sort(counts)[::-1]
-        print(f"[ba] P={P} M={M} counts max/p90/med/mean="
-              f"{c[0]}/{c[len(c)//10]}/{c[len(c)//2]}/{np.mean(c):.0f}")
+        print(f"[ba] pairs={len(activation)} slots={P} M={M}")
     pt_to_slab = np.zeros((P, M, 2))
     pt_from_slab = np.zeros((P, M, 2))
     w_slab = np.zeros((P, M))
     cam_a = np.zeros(P, np.int32)
     cam_b = np.zeros(P, np.int32)
     pair_swapped = np.zeros(P, bool)
-    for s, ((a, b), sw) in enumerate(activation):
+    s = 0
+    for ((a, b), sw), nslots in zip(activation, act_slots):
         m = valid[a, b]
-        cnt = counts[s]
-        pt_to_slab[s, :cnt] = to_pos[a, b][m]     # coords in image a ('to')
-        pt_from_slab[s, :cnt] = from_pos[a, b][m]
-        w_slab[s, :cnt] = 1.0
-        cam_a[s] = a                              # stored: to=a, from=b
-        cam_b[s] = b
-        pair_swapped[s] = sw
+        pt = to_pos[a, b][m]                      # coords in image a ('to')
+        pf = from_pos[a, b][m]
+        for c in range(nslots):
+            seg = slice(c * SLOT, min((c + 1) * SLOT, len(pt)))
+            k = seg.stop - seg.start
+            pt_to_slab[s, :k] = pt[seg]
+            pt_from_slab[s, :k] = pf[seg]
+            w_slab[s, :k] = 1.0
+            cam_a[s] = a                          # stored: to=a, from=b
+            cam_b[s] = b
+            pair_swapped[s] = sw
+            s += 1
 
     # BA placement: host CPU by default (tiny f64 LM; see Config.BA_ON_HOST)
     if cfg.BA_ON_HOST and mesh is None:
@@ -271,8 +284,9 @@ def estimate_cameras(
         visited.add(nxt)
         if cfg.MULTIPASS_BA > 0:
             for i in sorted(visited - {nxt}):
-                if (min(i, nxt), max(i, nxt)) in conn:
-                    n_active += 1
+                key = (min(i, nxt), max(i, nxt))
+                if key in conn:
+                    n_active += slots_by_key[key]
                     if cfg.MULTIPASS_BA == 2:
                         run_ba(inter_iters)       # BA after each connection
             if cfg.MULTIPASS_BA == 1:
@@ -282,7 +296,7 @@ def estimate_cameras(
         # one global BA; the reference adds every pair as add_match(i, j)
         # with j < i, i.e. to = the smaller index = stored orientation
         pair_swapped[:] = False
-        n_active = len(activation)
+        n_active = P
         run_ba()
     elif inter_iters < 100:
         run_ba()                                  # final full-depth polish
