@@ -24,11 +24,11 @@ from ..sift.detector import detect_and_describe_batch
 # images per device batch: the live set (scale space + window slabs) for
 # one batch must fit HBM (8 working-size images use ~5 GB of a v5e's
 # 16 GB); smaller batches overlap the delta-coded uploads with SIFT
-# compute at finer grain — 2 won the r2 interleaved sweep on the headline
-# workload (1.85 s vs 2.14 s at 4, 2.47 s at 8)
+# compute at finer grain — 1 won the r2 interleaved sweeps on the headline
+# workload (1.86 s vs 2.19 s at 2, 2.14+ s at 4/8)
 import os as _os
 
-_FEATURE_BATCH = int(_os.environ.get("OPENPANO_FEATURE_BATCH", "2"))
+_FEATURE_BATCH = int(_os.environ.get("OPENPANO_FEATURE_BATCH", "1"))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "wh_", "ww_"))
