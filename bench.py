@@ -54,15 +54,19 @@ def main():
     views = np.round(views[perm] * 255.0).astype(np.uint8)
 
     # cold run (compile) then best of three timed warm runs — the tunneled
-    # transport's bandwidth swings minute-to-minute; best-of damps that
+    # transport's bandwidth swings minute-to-minute; best-of damps that.
+    # Each rep perturbs one input pixel: the tunneled backend can elide a
+    # byte-identical repeated dispatch (see ARCHITECTURE.md timing notes)
     out, valid = stitch(views, cfg, key=jax.random.PRNGKey(1), output="u8")
     dt = 1e30
     best = None
-    for _ in range(3):
+    for rep in range(3):
+        v = views.copy()
+        v[0, 0, 0, 0] = rep
         timer.reset()
         info = {}
         t0 = time.time()
-        out, valid = stitch(views, cfg, key=jax.random.PRNGKey(1),
+        out, valid = stitch(v, cfg, key=jax.random.PRNGKey(1),
                             output="u8", info_out=info)
         t = time.time() - t0
         if t < dt:

@@ -53,6 +53,20 @@ def resize(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     return (1 - fy) * ((1 - fx) * p00 + fx * p01) + fy * ((1 - fx) * p10 + fx * p11)
 
 
+def bilinear_prologue(h: int, w: int, y: jnp.ndarray, x: jnp.ndarray):
+    """Shared bounds/index/fraction computation for every bilinear sampler
+    (the plain, x-paired, and packed-int32 variants must agree on the
+    boundary rule).  h/w are the ORIGINAL image dims.  Returns
+    (inb, iy, ix, ry, rx) with ry/rx already expanded for channel
+    broadcasting."""
+    fy = jnp.floor(y)
+    fx = jnp.floor(x)
+    inb = (fy >= 0) & (fx >= 0) & (fy + 1 <= h - 1) & (fx + 1 <= w - 1)
+    iy = jnp.clip(fy, 0, h - 2).astype(jnp.int32)
+    ix = jnp.clip(fx, 0, w - 2).astype(jnp.int32)
+    return inb, iy, ix, (y - fy)[..., None], (x - fx)[..., None]
+
+
 def sample_bilinear(img: jnp.ndarray, y: jnp.ndarray, x: jnp.ndarray):
     """Sentinel-aware bilinear sampling (reference: interpolate, imgproc.cc:135-156).
 
@@ -65,13 +79,7 @@ def sample_bilinear(img: jnp.ndarray, y: jnp.ndarray, x: jnp.ndarray):
     colors are INVALID, matching Color::NO propagation.
     """
     h, w = img.shape[0], img.shape[1]
-    fy = jnp.floor(y)
-    fx = jnp.floor(x)
-    inb = (fy >= 0) & (fx >= 0) & (fy + 1 <= h - 1) & (fx + 1 <= w - 1)
-    iy = jnp.clip(fy, 0, h - 2).astype(jnp.int32)
-    ix = jnp.clip(fx, 0, w - 2).astype(jnp.int32)
-    ry = (y - fy)[..., None]
-    rx = (x - fx)[..., None]
+    inb, iy, ix, ry, rx = bilinear_prologue(h, w, y, x)
 
     p00 = img[iy, ix]
     p10 = img[iy + 1, ix]

@@ -361,15 +361,11 @@ def _sample_bilinear_paired(img6, y, x):
     """sample_bilinear over the x-paired 6-channel layout (pair_imgs_x).
     img6: [H, W-1, 6]; bounds follow the ORIGINAL width W = img6.shape[1]+1.
     Same sentinel semantics as ops.imgproc.sample_bilinear."""
+    from ..ops.imgproc import bilinear_prologue
+
     h = img6.shape[0]
     w = img6.shape[1] + 1
-    fy = jnp.floor(y)
-    fx = jnp.floor(x)
-    inb = (fy >= 0) & (fx >= 0) & (fy + 1 <= h - 1) & (fx + 1 <= w - 1)
-    iy = jnp.clip(fy, 0, h - 2).astype(jnp.int32)
-    ix = jnp.clip(fx, 0, w - 2).astype(jnp.int32)
-    ry = (y - fy)[..., None]
-    rx = (x - fx)[..., None]
+    inb, iy, ix, ry, rx = bilinear_prologue(h, w, y, x)
     a = img6[iy, ix]          # p00 | p01
     b = img6[iy + 1, ix]      # p10 | p11
     ok = (a[..., 0] >= 0) & (a[..., 3] >= 0) \
@@ -383,14 +379,10 @@ def _sample_bilinear_paired(img6, y, x):
 
 def _sample_bilinear_packed(img_i32, y, x):
     """sample_bilinear over an R|G|B|valid-packed int32 image."""
+    from ..ops.imgproc import bilinear_prologue
+
     h, w = img_i32.shape[0], img_i32.shape[1]
-    fy = jnp.floor(y)
-    fx = jnp.floor(x)
-    inb = (fy >= 0) & (fx >= 0) & (fy + 1 <= h - 1) & (fx + 1 <= w - 1)
-    iy = jnp.clip(fy, 0, h - 2).astype(jnp.int32)
-    ix = jnp.clip(fx, 0, w - 2).astype(jnp.int32)
-    ry = (y - fy)[..., None]
-    rx = (x - fx)[..., None]
+    inb, iy, ix, ry, rx = bilinear_prologue(h, w, y, x)
     p00 = img_i32[iy, ix]
     p10 = img_i32[iy + 1, ix]
     p01 = img_i32[iy, ix + 1]
@@ -702,8 +694,11 @@ def _sharded_blend_program(mesh, axis: str, nd: int, Hp: int, SW: int,
         w_acc = jax.lax.pcast(
             jnp.zeros((Hp, SW + TW), jnp.float32), (axis,), to="varying"
         )
+        # pair AFTER the band slice (pairing is per image, so it commutes
+        # with the slice) — the 2x paired stack exists only per band
+        imgs_paired = pair_imgs_x(imgs[0])
         color_acc, w_acc = _blend_scan(
-            color_acc, w_acc, imgs[0], homo_invs[0], whs[0],
+            color_acc, w_acc, imgs_paired, homo_invs[0], whs[0],
             idx[0], rng[0], org[0], proj_min, resolution,
             proj, ordered, TH, TW,
             slice_x0=(g * SW).astype(jnp.int32),
@@ -733,8 +728,10 @@ def _sharded_blend_program(mesh, axis: str, nd: int, Hp: int, SW: int,
             resolution):
         # band-slice the per-image data so each device holds only the
         # images its jobs reference ([G, NI, ...], sharded over bands) —
-        # image memory scales with devices, not just canvas memory
-        imgs = pair_imgs_x(imgs)  # halves gather ops (see pair_imgs_x)
+        # steady-state image memory scales with devices (the gather's
+        # full-stack operand is still materialized once while slicing; a
+        # multi-host IO path that shards images from decode onward is the
+        # remaining step for image sets beyond one device's HBM)
         imgs_b = jax.lax.with_sharding_constraint(imgs[g_map], band_sh)
         hinv_b = jax.lax.with_sharding_constraint(homo_invs[g_map], band_sh)
         whs_b = jax.lax.with_sharding_constraint(whs[g_map], band_sh)

@@ -165,13 +165,11 @@ def run_ours(views, truth, **overrides):
     # the blended + cropped panorama for content-level comparison
     from openpano_tpu.ops.imgproc import crop_with_mask
     from openpano_tpu.stitch.render import blend
+    from openpano_tpu.stitch.stitcher import _f32_to_u8
 
     canvas = blend(imgs, plan, ordered=cfg.ORDERED_INPUT,
                    multiband=cfg.MULTIBAND)
-    canvas = np.asarray(canvas)
-    valid = canvas[..., 0] >= 0
-    u8 = np.where(valid[..., None],
-                  np.round(np.clip(canvas, 0, 1) * 255).astype(np.uint8), 255)
+    u8, valid = (np.asarray(a) for a in _f32_to_u8(canvas))
     cropped = crop_with_mask(u8, valid)
     return feat_counts, (plan.out_w, plan.out_h), float(np.mean(errs)), cropped
 
