@@ -87,3 +87,31 @@ def test_hconcat_vconcat(rng):
     np.testing.assert_array_equal(v[:2], a)
     np.testing.assert_array_equal(v[2:, :2], b)
     assert (v[2:, 2:] == 0).all()
+
+
+def test_paired_sampler_matches_plain(rng):
+    """The x-paired 6-channel bilinear sampler must agree with the plain
+    sampler everywhere — including out-of-bounds coords and INVALID
+    sentinel neighborhoods (Color::NO propagation)."""
+    import jax.numpy as jnp
+
+    from openpano_tpu.ops.imgproc import INVALID, sample_bilinear
+    from openpano_tpu.stitch.render import _sample_bilinear_paired, pair_imgs_x
+
+    H, W = 37, 53
+    img = rng.uniform(size=(H, W, 3)).astype(np.float32)
+    # scatter some INVALID sentinel pixels
+    holes = rng.integers(0, H * W, 40)
+    img.reshape(-1, 3)[holes] = INVALID
+    img6 = np.asarray(pair_imgs_x(jnp.asarray(img)[None]))[0]
+
+    y = rng.uniform(-3, H + 3, size=(64, 64)).astype(np.float32)
+    x = rng.uniform(-3, W + 3, size=(64, 64)).astype(np.float32)
+    c0, v0 = sample_bilinear(jnp.asarray(img), jnp.asarray(y), jnp.asarray(x))
+    c1, v1 = _sample_bilinear_paired(jnp.asarray(img6), jnp.asarray(y),
+                                     jnp.asarray(x))
+    np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+    np.testing.assert_allclose(
+        np.asarray(c0)[np.asarray(v0)], np.asarray(c1)[np.asarray(v1)],
+        atol=1e-6,
+    )
