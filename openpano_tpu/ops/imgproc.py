@@ -9,7 +9,6 @@ whole images / coordinate grids.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
