@@ -110,7 +110,7 @@ def main():
         errs.append(np.linalg.norm(
             pe[:, :2] / pe[:, 2:3] - pg[:, :2] / pg[:, 2:3], axis=1).mean())
     reproj = float(np.mean(errs))
-    assert reproj < 5.0, f"camera quality gate failed: {reproj:.2f} px"
+    assert reproj < 2.5, f"camera quality gate failed: {reproj:.2f} px"
 
     stage_s = {lbl: round(s, 3) for lbl, (_, s) in sorted(
         stage_totals.items(), key=lambda kv: -kv[1][1]) if s > 0.005}

@@ -21,7 +21,7 @@ import numpy as np
 
 from ..config import Config
 from ..utils.timer import total_timer
-from .bundle_adjuster import BAPairProblem, ba_optimize_pairs
+from .bundle_adjuster import LM_MAX_ITER, BAPairProblem, ba_optimize_pairs
 from .camera import (
     CameraSet,
     estimate_focal,
@@ -206,8 +206,6 @@ def estimate_cameras(
     n_active = 0
 
     def run_ba(max_iter=None, adaptive=None):
-        from .bundle_adjuster import LM_MAX_ITER
-
         nonlocal params
         if max_iter is None:
             max_iter = LM_MAX_ITER
@@ -298,7 +296,7 @@ def estimate_cameras(
         pair_swapped[:] = False
         n_active = P
         run_ba()
-    elif inter_iters < 100:
+    elif inter_iters < LM_MAX_ITER:
         run_ba()                                  # final full-depth polish
 
     if stats is not None and len(activation):

@@ -253,9 +253,23 @@ def mode_stitch(args, cfg):
     t0 = time.time()
     key = jax.random.PRNGKey(args.seed)
     info = {}
+    graph = None
+    if args.load_matchinfo:
+        # the reference's fixture workflow (debug.cc:127-140, hook at
+        # stitcher.cc:43-47): reload the dumped match graph and skip the
+        # feature + match stages entirely
+        from .io.artifacts import load_matchinfo_text
+
+        graph = load_matchinfo_text(
+            args.load_matchinfo, len(imgs), cfg.MAX_MATCHES_PER_PAIR
+        )
+        print(f"Loaded match graph from {args.load_matchinfo}")
     if cfg.CYLINDER:
         if len(shapes) != 1:
             raise SystemExit("CYLINDER mode requires uniform image sizes")
+        if graph is not None:
+            raise SystemExit("--load-matchinfo is not supported in CYLINDER "
+                             "mode (it matches warped keypoints)")
         from .stitch.stitcher import _f32_to_u8
 
         canvas = stitch_cylinder(np.stack(imgs), cfg, key)
@@ -268,8 +282,15 @@ def mode_stitch(args, cfg):
                                       info_out=info)
     else:
         canvas, valid = stitch(np.stack(imgs), cfg, key, output="u8",
-                               info_out=info)
+                               info_out=info, graph=graph)
     print(f"Stitched in {time.time()-t0:.2f}s")
+    if args.dump_matchinfo and "graph" in info:
+        from .io.artifacts import dump_matchinfo_text
+
+        dump_matchinfo_text(args.dump_matchinfo, info["graph"])
+        print(f"Dumped match graph to {args.dump_matchinfo}")
+    if args.debug_blend and "plan" in info:
+        _debug_blend_dumps(imgs, info["plan"])
     print(f"Final Image Size: ({canvas.shape[1]}, {canvas.shape[0]})")
     if info:
         # structured per-stage metrics (SURVEY §5.5): counts + residuals in
@@ -297,6 +318,33 @@ def mode_stitch(args, cfg):
     print(f"Wrote {args.output}")
 
 
+def _debug_blend_dumps(imgs, plan):
+    """Per-image blender renders, the LinearBlender::debug_run analog
+    (stitch/debug.cc:19-43): each image rendered alone onto the full
+    canvas, written to log/blended-<i>.jpg."""
+    import jax.numpy as jnp
+
+    from .io import write_rgb
+    from .stitch.render import blend
+
+    stack = np.stack([np.asarray(im, np.float32) / 255.0
+                      if np.asarray(im).dtype == np.uint8 else np.asarray(im)
+                      for im in imgs])
+    dev = jnp.asarray(stack)
+    for i in range(len(imgs)):
+        sel = plan.items[:, 0] == i
+        if not sel.any():
+            continue
+        sub = plan._replace(
+            items=plan.items[sel],
+            hulls=tuple(h for h, s in zip(plan.hulls, sel) if s),
+        )
+        canvas = np.asarray(blend(dev, sub, ordered=False, multiband=0))
+        out = _logpath(f"blended-{i:02d}.jpg")
+        write_rgb(out, np.where(canvas < 0, 1.0, canvas))
+        print(f"Wrote {out}")
+
+
 MODES = {
     "stitch": mode_stitch,
     "keypoint": mode_keypoint,
@@ -322,6 +370,21 @@ def main(argv=None):
         help="debug modes visualize one pipeline stage (reference main.cc)",
     )
     ap.add_argument("--seed", type=int, default=0, help="RANSAC PRNG seed")
+    ap.add_argument(
+        "--dump-matchinfo", metavar="PATH", default=None,
+        help="dump the match graph in the reference's text format "
+             "(debug.cc:111-125) after stitching",
+    )
+    ap.add_argument(
+        "--load-matchinfo", metavar="PATH", default=None,
+        help="load a dumped match graph and skip feature+match "
+             "(debug.cc:127-140)",
+    )
+    ap.add_argument(
+        "--debug-blend", action="store_true",
+        help="write per-image blender renders to log/ "
+             "(LinearBlender::debug_run, debug.cc:19-43)",
+    )
     args = ap.parse_args(argv)
 
     cfg = load_config(args.config)

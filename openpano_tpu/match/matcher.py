@@ -27,6 +27,7 @@ matches are emitted as index pairs padded to M_max.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -51,9 +52,11 @@ def _sq_dist_matrix(da: jnp.ndarray, db: jnp.ndarray,
     The reference's SSE kernel computes the same quantity serially
     (feature/dist.cc:22-57).  This matrix only drives candidate
     *selection* — the final ratio tests recompute the few selected
-    distances exactly — so the matmul runs at HIGH precision (bf16x3
-    passes, 2x the HIGHEST/bf16x6 throughput); verified to produce
-    bit-identical match sets on the headline workload.
+    distances exactly — so the matmul defaults to HIGH precision (bf16x3
+    passes, 2x the HIGHEST/bf16x6 throughput); match sets were verified
+    bit-identical to HIGHEST on the CMU0 headline workload.  Near-tie 2-NN
+    selections on other data could in principle differ — set
+    OPENPANO_MATCH_PRECISION=highest to restore exact-selection behavior.
 
     Invalid (padding) rows/columns are pushed to ~1e19 by folding the mask
     into the norm terms — a [K] where instead of a [K,K] one."""
@@ -63,7 +66,9 @@ def _sq_dist_matrix(da: jnp.ndarray, db: jnp.ndarray,
         na = jnp.where(valid_a, na, _PAD_DIST)
     if valid_b is not None:
         nb = jnp.where(valid_b, nb, _PAD_DIST)
-    cross = jnp.matmul(da, db.T, precision=jax.lax.Precision.HIGH)
+    prec = getattr(jax.lax.Precision,
+                   os.environ.get("OPENPANO_MATCH_PRECISION", "high").upper())
+    cross = jnp.matmul(da, db.T, precision=prec)
     d2 = na[:, None] + nb[None, :] - 2.0 * cross
     return jnp.maximum(d2, 0.0)
 

@@ -36,19 +36,19 @@ def init_distributed(coordinator_address: str | None = None,
     the process count, and this process's id.
 
     Must run before anything initializes the XLA backend (jax.devices()
-    etc.) — so the idempotence check inspects the distributed client
-    state only, never the backend."""
+    etc.) — idempotence is handled by catching the already-initialized
+    RuntimeError rather than probing jax internals."""
     if getattr(jax.distributed, "is_initialized", lambda: False)():
-        return
-    state = getattr(getattr(jax, "_src", None), "distributed", None)
-    if state is not None and getattr(state, "global_state", None) is not None \
-            and state.global_state.client is not None:
         return
     kw = {}
     if coordinator_address is not None:
         kw = dict(coordinator_address=coordinator_address,
                   num_processes=num_processes, process_id=process_id)
-    jax.distributed.initialize(**kw)
+    try:
+        jax.distributed.initialize(**kw)
+    except RuntimeError as e:
+        if "already" not in str(e).lower():
+            raise
 
 
 def make_mesh(n_devices: int | None = None) -> Mesh:

@@ -65,9 +65,12 @@ class PairwiseGraph:
 def build_pairwise_graph(feats, whs, cfg: Config, key, ordered: bool,
                          affine: bool, mesh=None) -> PairwiseGraph:
     """Match + RANSAC over all C(n,2) pairs (or the ordered ring) in two
-    batched device calls.  With ``mesh``, the flat pair axis shards over
-    the mesh's first axis (XLA all-gathers the descriptor stack once per
-    device — SURVEY.md §5.8 "pairs -> sharded pair blocks")."""
+    batched device calls.  With ``mesh``, the flat pair axis of BOTH
+    dispatches shards over the mesh's first axis (descriptors replicated —
+    SURVEY.md §5.8 "pairs -> sharded pair blocks"); the pair compaction
+    between them is one shared codepath either way."""
+    from ..geometry.ransac import ESTIMATE_MIN_NR_MATCH
+
     n = feats.desc.shape[0]
     if ordered:
         # (i, i+1) ring including the head-tail wrap pair, which is
@@ -77,11 +80,36 @@ def build_pairwise_graph(feats, whs, cfg: Config, key, ordered: bool,
     else:
         ii, jj = pair_indices(n)
 
-    pair_ii, pair_jj = ii, jj                      # slots the infos refer to
+    # ---- stage 1: 2-NN matching over every candidate pair ----
     if mesh is not None:
-        small, big, P_, M = _match_ransac_sharded(
-            feats, whs, ii, jj, key, cfg, affine, mesh
-        )
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        axis = mesh.axis_names[0]
+        nd = int(mesh.devices.size)
+        pair_sh = NamedSharding(mesh, P(axis))
+        repl = NamedSharding(mesh, P())
+        desc_r = jax.device_put(feats.desc, repl)
+        valid_r = jax.device_put(feats.valid, repl)
+        pos_r = jax.device_put(feats.pos, repl)
+        whs_r = jax.device_put(jnp.asarray(whs), repl)
+        # pad the pair axis to a mesh multiple with (0, 0) self-pairs;
+        # their match counts are masked to 0 so compaction drops them
+        r = (-len(ii)) % nd
+        ii_p = np.asarray(list(ii) + [0] * r, np.int32)
+        jj_p = np.asarray(list(jj) + [0] * r, np.int32)
+        with total_timer("match_2nn"):
+            res = _match_pairs_jit(
+                desc_r, valid_r,
+                jax.device_put(jnp.asarray(ii_p), pair_sh),
+                jax.device_put(jnp.asarray(jj_p), pair_sh), cfg,
+            )
+            jax.block_until_ready(res)
+        if r:
+            pmask = jnp.arange(len(ii_p)) < len(ii)
+            res = res._replace(
+                valid=res.valid & pmask[:, None],
+                count=jnp.where(pmask, res.count, 0),
+            )
     else:
         with total_timer("match_2nn"):
             if ordered:
@@ -90,45 +118,57 @@ def build_pairwise_graph(feats, whs, cfg: Config, key, ordered: bool,
                 res = match_all_pairs(feats.desc, feats.valid, cfg)
             jax.block_until_ready(res)
 
-        # pairs below the RANSAC minimum can never connect
-        # (transform_estimate.cc:21,39 rejects < ESTIMATE_MIN_NR_MATCH);
-        # on an unordered all-pairs graph most pairs share no overlap, so
-        # compact the pair list before the expensive hypothesis batch.
-        # The tiny count fetch costs one roundtrip; RANSAC + the packed
-        # match download then scale with CONNECTED pairs, not C(n,2).
-        from ..geometry.ransac import ESTIMATE_MIN_NR_MATCH
+    # ---- stage 2 (shared): compact to pairs that can connect ----
+    # pairs below the RANSAC minimum can never connect
+    # (transform_estimate.cc:21,39 rejects < ESTIMATE_MIN_NR_MATCH);
+    # on an unordered all-pairs graph most pairs share no overlap, so
+    # compact the pair list before the expensive hypothesis batch.
+    # The tiny count fetch costs one roundtrip; RANSAC + the packed
+    # match download then scale with CONNECTED pairs, not C(n,2).
+    counts = np.asarray(res.count)
+    keep = np.nonzero(counts >= ESTIMATE_MIN_NR_MATCH)[0]
+    keys_full = jax.random.split(key, len(ii))   # by ORIGINAL pair slot so
+    pair_ii, pair_jj = ii, jj                    # compaction never moves draws
+    if len(keep) < len(counts) or mesh is not None:
+        # bucketed padded shapes: multiple of 64 and of the mesh size
+        mult = 64 if mesh is None else 64 * nd // np.gcd(64, nd)
+        pad = -len(keep) % mult if len(keep) else mult
+        keep_p = np.concatenate([keep, np.zeros(pad, np.int64)])
+        kd = jnp.asarray(keep_p)
+        res_k = jax.tree_util.tree_map(lambda a: a[kd], res)
+        # mask the padding slots empty so their RANSAC fails cheaply
+        pmask = jnp.arange(len(keep_p)) < len(keep)
+        res_k = res_k._replace(
+            valid=res_k.valid & pmask[:, None],
+            count=jnp.where(pmask, res_k.count, 0),
+        )
+        ii_r = [ii[k] for k in keep_p]
+        jj_r = [jj[k] for k in keep_p]
+        pair_ii, pair_jj = ii_r[: len(keep)], jj_r[: len(keep)]
+    else:
+        keep_p = np.arange(len(ii))
+        res_k, ii_r, jj_r = res, ii, jj
+    keys_k = keys_full[jnp.asarray(keep_p)]
 
-        counts = np.asarray(res.count)
-        keep = np.nonzero(counts >= ESTIMATE_MIN_NR_MATCH)[0]
-        if len(keep) < len(ii):
-            pad = -len(keep) % 64 if len(keep) else 1  # bucketed shapes
-            keep_p = np.concatenate([keep, np.zeros(pad, np.int64)])
-            kd = jnp.asarray(keep_p)
-            res_k = jax.tree_util.tree_map(lambda x: x[kd], res)
-            # mask the padding slots empty so their RANSAC fails cheaply
-            pmask = jnp.arange(len(keep_p)) < len(keep)
-            res_k = res_k._replace(
-                valid=res_k.valid & pmask[:, None],
-                count=jnp.where(pmask, res_k.count, 0),
+    # ---- stage 3: RANSAC over the connected pairs only ----
+    with total_timer("ransac"):
+        if mesh is not None:
+            res_k = jax.device_put(res_k, pair_sh)
+            small, big = _ransac_pairs_jit(
+                res_k, pos_r, valid_r, whs_r,
+                jax.device_put(jnp.asarray(ii_r, dtype=jnp.int32), pair_sh),
+                jax.device_put(jnp.asarray(jj_r, dtype=jnp.int32), pair_sh),
+                jax.device_put(keys_k, pair_sh), cfg, affine,
             )
-            ii_r = [ii[k] for k in keep_p]
-            jj_r = [jj[k] for k in keep_p]
-            pair_ii, pair_jj = ii_r[: len(keep)], jj_r[: len(keep)]
         else:
-            keep_p = np.arange(len(ii))
-            res_k, ii_r, jj_r = res, ii, jj
-
-        with total_timer("ransac"):
-            # keys by ORIGINAL pair slot so compaction never changes draws
-            keys_full = jax.random.split(key, len(ii))
             infos = estimate_transform_batch(
                 res_k, feats.pos, feats.valid, whs,
                 jnp.asarray(ii_r), jnp.asarray(jj_r), key, cfg, affine,
-                keys=keys_full[jnp.asarray(keep_p)],
+                keys=keys_k,
             )
             small, big = _pack_infos(infos)
-            jax.block_until_ready(big)
-            P_, M = infos.valid.shape
+        jax.block_until_ready(big)
+        M = cfg.MAX_MATCHES_PER_PAIR
     # downloads over a remote-attached device pay ~40 ms fixed + ~20 ms/MB:
     # pack the pytree into two buffers (small f64 geometry + big f32 point
     # data — coords are exactly representable in f32) instead of per-leaf
@@ -174,68 +214,42 @@ def _pack_infos(infos):
     return small, big
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "affine"))
-def _match_ransac_pairs_jit(desc, valid, pos, whs, ii, jj, keys, cfg, affine):
-    """Per-pair match + RANSAC, vmapped over a flat (possibly sharded)
-    pair axis; module-level so the executable is cached across calls."""
-    from ..geometry.ransac import estimate_transform
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _match_pairs_jit(desc, valid, ii, jj, cfg):
+    """Per-pair 2-NN matching vmapped over a flat (possibly sharded) pair
+    axis; module-level so the executable is cached across calls."""
     from ..match.matcher import match_pair
 
-    def one(i, j, k):
-        m = match_pair(desc[i], valid[i], desc[j], valid[j], cfg)
+    def one(i, j):
+        return match_pair(desc[i], valid[i], desc[j], valid[j], cfg)
+
+    return jax.vmap(one)(ii, jj)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "affine"))
+def _ransac_pairs_jit(matches, pos, valid, whs, ii, jj, keys, cfg, affine):
+    """Per-pair RANSAC vmapped over a flat (possibly sharded) pair axis,
+    returning the packed (small, big) transfer buffers."""
+    from ..geometry.ransac import estimate_transform
+
+    def one(m, i, j, k):
         return estimate_transform(
             m, pos[i], valid[i], pos[j], valid[j],
             whs[i], whs[j], k, cfg, affine,
         )
 
-    infos = jax.vmap(one)(ii, jj, keys)
+    infos = jax.vmap(one)(matches, ii, jj, keys)
     return _pack_infos(infos)
 
 
-def _match_ransac_sharded(feats, whs, ii, jj, key, cfg: Config, affine: bool,
-                          mesh):
-    """Match + RANSAC with the pair axis sharded over the mesh (the
-    reference pair loop, stitcher.cc:96-114, as one GSPMD-partitioned
-    dispatch).  Pads the pair list to a mesh-size multiple with (0, 0)
-    self-pairs whose outputs are computed (all shapes are fixed — there
-    is no work to skip) but dropped by the caller's truncation to the
-    real pair count.  Returns packed (small, big) buffers plus
-    (P_padded, M)."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    axis = mesh.axis_names[0]
-    nd = int(mesh.devices.size)
-    p_real = len(ii)
-    r = (-p_real) % nd
-    ii_p = np.asarray(list(ii) + [0] * r, np.int32)
-    jj_p = np.asarray(list(jj) + [0] * r, np.int32)
-
-    pair_sh = NamedSharding(mesh, P(axis))
-    repl = NamedSharding(mesh, P())
-    # per ORIGINAL pair slot (padding reuses slot 0's key; its result is
-    # truncated away), matching the unsharded path's assignment
-    keys_full = jax.random.split(key, p_real)
-    slot = np.concatenate([np.arange(p_real), np.zeros(r, np.int64)])
-    keys = jax.device_put(keys_full[jnp.asarray(slot)], pair_sh)
-    ii_d = jax.device_put(jnp.asarray(ii_p), pair_sh)
-    jj_d = jax.device_put(jnp.asarray(jj_p), pair_sh)
-    desc = jax.device_put(feats.desc, repl)
-    valid = jax.device_put(feats.valid, repl)
-    pos = jax.device_put(feats.pos, repl)
-    whs_d = jax.device_put(jnp.asarray(whs), repl)
-
-    with total_timer("match+ransac_sharded"):
-        small, big = _match_ransac_pairs_jit(
-            desc, valid, pos, whs_d, ii_d, jj_d, keys, cfg, affine
-        )
-        jax.block_until_ready(big)
-    return small, big, len(ii_p), cfg.MAX_MATCHES_PER_PAIR
-
-
 def stitch(imgs: np.ndarray, cfg: Config, key=None, output: str = "f32",
-           mesh=None, info_out: dict | None = None):
+           mesh=None, info_out: dict | None = None,
+           graph: PairwiseGraph | None = None):
     """Full Stitcher::build (stitcher.cc:32-63).  imgs: [n,H,W,3] float32 in
     [0,1] or uint8 (uploaded 4x cheaper and converted on device).
+
+    graph: preloaded match graph — skips the feature and match stages
+    entirely (the reference's load_matchinfo fixture, debug.cc:127-140).
 
     output="f32": returns the blended canvas (float32, INVALID=-1 where
     empty, pre-crop).  output="u8": returns ``(canvas_u8, valid)`` with the
@@ -251,6 +265,17 @@ def stitch(imgs: np.ndarray, cfg: Config, key=None, output: str = "f32",
     if key is None:
         key = jax.random.PRNGKey(0)
     n, H, W = imgs.shape[0], imgs.shape[1], imgs.shape[2]
+
+    if graph is not None:
+        # features exist only to build the graph — skip straight to upload
+        with total_timer("upload"):
+            imgs = jnp.asarray(imgs)
+            imgs = _u8_to_f32(imgs) if imgs.dtype == jnp.uint8 \
+                else imgs.astype(jnp.float32)
+            jax.block_until_ready(imgs)
+        whs_np = np.repeat([[float(W), float(H)]], n, 0)
+        return _stitch_core(imgs, None, whs_np, cfg, key, output, mesh,
+                            info_out, graph=graph)
 
     if mesh is not None:
         from .stitcherbase import compute_features_sharded
@@ -344,24 +369,31 @@ def stitch_hetero(imgs_list, cfg: Config, key=None, output: str = "f32",
 
 
 def _stitch_core(imgs, feats, whs_np: np.ndarray, cfg: Config, key,
-                 output: str, mesh, info_out: dict | None = None):
+                 output: str, mesh, info_out: dict | None = None,
+                 graph: PairwiseGraph | None = None):
     """Shared tail of Stitcher::build after feature extraction: pairwise
     match graph -> camera estimation (or homography chaining) -> render
     plan -> blend (stitcher.cc:38-63).
 
     ``info_out`` (a dict) collects run metadata for benchmarks: per-image
     keypoint counts, the recovered cameras/homographies, the render plan,
-    and BA LM iteration stats."""
+    and BA LM iteration stats.  ``graph`` (a preloaded PairwiseGraph, e.g.
+    from io.artifacts.load_matchinfo_text) skips matching — the
+    reference's dump/load_matchinfo fixture workflow (debug.cc:111-140,
+    hook at stitcher.cc:43-47)."""
     n = whs_np.shape[0]
     mid = n >> 1                                  # assign_center, stitcher.cc:138-141
     whs = jnp.asarray(whs_np, jnp.float32)
-    if info_out is not None:
+    if info_out is not None and feats is not None:
         info_out["kpt_counts"] = np.asarray(jnp.sum(feats.valid, axis=1))
-    with total_timer("pairwise_match"):
-        graph = build_pairwise_graph(
-            feats, whs, cfg, key, ordered=cfg.ORDERED_INPUT,
-            affine=cfg.TRANS, mesh=mesh,
-        )
+    if graph is None:
+        with total_timer("pairwise_match"):
+            graph = build_pairwise_graph(
+                feats, whs, cfg, key, ordered=cfg.ORDERED_INPUT,
+                affine=cfg.TRANS, mesh=mesh,
+            )
+    if info_out is not None:
+        info_out["graph"] = graph
     if info_out is not None:
         conn = graph.conf > 0
         info_out["connected_pairs"] = int(np.triu(conn, 1).sum())

@@ -71,3 +71,30 @@ def test_debug_mode(img_files, tiny_cfg_file, tmp_path, monkeypatch,
     rc = cli.main(["--mode", mode, "-c", tiny_cfg_file, *img_files[:nimg]])
     assert rc == 0
     assert os.path.exists(artifact), artifact
+
+
+def test_matchinfo_roundtrip_and_debug_blend(img_files, tiny_cfg_file,
+                                             tmp_path, monkeypatch):
+    """The reference's fixture workflow (debug.cc:19-43, 111-140): stitch
+    with --dump-matchinfo, re-stitch with --load-matchinfo (skipping
+    feature+match — asserted via the identical output), plus the per-image
+    blender debug renders."""
+    monkeypatch.chdir(tmp_path)
+    mi = str(tmp_path / "matchinfo.txt")
+    rc = cli.main(["-c", tiny_cfg_file, "-o", "a.jpg",
+                   "--dump-matchinfo", mi, "--debug-blend", *img_files])
+    assert rc == 0
+    assert os.path.exists(mi)
+    assert os.path.exists("log/blended-00.jpg")
+    assert os.path.exists("log/blended-01.jpg")
+
+    rc = cli.main(["-c", tiny_cfg_file, "-o", "b.jpg",
+                   "--load-matchinfo", mi, *img_files])
+    assert rc == 0
+    from PIL import Image
+
+    a = np.asarray(Image.open("a.jpg"), np.float32)
+    b = np.asarray(Image.open("b.jpg"), np.float32)
+    assert a.shape == b.shape
+    # JPEG round-trips identically for identical pixel input
+    assert np.abs(a - b).mean() < 1.0

@@ -21,32 +21,78 @@ pytestmark = pytest.mark.skipif(
     reason="reference binary not built (run tools/build_reference.sh)",
 )
 
+# capacity caps well above the ~600 kpts/img this dataset yields —
+# smaller compiled shapes, same results, much faster on the CPU backend
+_CAPS = dict(
+    MAX_CAND_PER_OCTAVE=1024, MAX_KP_PER_OCTAVE=512,
+    MAX_DESC_PER_OCTAVE=512, MAX_KP_PER_IMAGE=1024,
+    MAX_MATCHES_PER_PAIR=512,
+)
 
-def test_reference_parity(tmp_path):
+
+def _ratio(a, b):
+    return min(a, b) / max(a, b)
+
+
+@pytest.fixture(scope="module")
+def ref_run(tmp_path_factory):
+    """Render the dataset and run the reference binary once per module."""
+    tmp = str(tmp_path_factory.mktemp("refparity"))
+    paths, views, truth = ref_parity.render_dataset(tmp, 5, 320, 240)
+    ref_counts, ref_size, ref_jpg = ref_parity.run_reference(paths, tmp)
+    return views, truth, ref_counts, ref_size, ref_jpg
+
+
+def test_reference_parity(ref_run):
     """Final size within ratio 0.8 per dimension (run_test.py rule),
-    per-image keypoint counts within 2x, camera reprojection error < 5 px
-    vs synthetic ground truth."""
-    paths, views, truth = ref_parity.render_dataset(str(tmp_path), 5, 320, 240)
-    ref_counts, ref_size, ref_jpg = ref_parity.run_reference(
-        paths, str(tmp_path)
-    )
-    # capacity caps well above the ~600 kpts/img this dataset yields —
-    # smaller compiled shapes, same results, much faster on the CPU backend
+    per-image keypoint counts within 2x, camera reprojection error < 2.5 px
+    vs synthetic ground truth, and tight pixel-level NCC (> 0.95) against
+    the GROUND-TRUTH-camera render.
+
+    The NCC yardstick is the GT render, not the reference's JPEG: the
+    reference binary's own camera drift on this set caps ncc(ours, ref)
+    at ~0.6 (measured ncc(ref, gt)=0.63 while ncc(ours, gt)=0.995), so a
+    tight ours-vs-ref gate would measure the reference's noise, not our
+    regressions.  We additionally require matching GT at least as well as
+    the reference does, and a loose content-sanity NCC vs the reference."""
+    views, truth, ref_counts, ref_size, ref_jpg = ref_run
     our_counts, our_size, reproj, our_canvas = ref_parity.run_ours(
-        views, truth,
-        MAX_CAND_PER_OCTAVE=1024, MAX_KP_PER_OCTAVE=512,
-        MAX_DESC_PER_OCTAVE=512, MAX_KP_PER_IMAGE=1024,
-        MAX_MATCHES_PER_PAIR=512,
+        views, truth, **_CAPS
     )
 
-    def ratio(a, b):
-        return min(a, b) / max(a, b)
-
-    assert ratio(ref_size[0], our_size[0]) > 0.8, (ref_size, our_size)
-    assert ratio(ref_size[1], our_size[1]) > 0.8, (ref_size, our_size)
+    assert _ratio(ref_size[0], our_size[0]) > 0.8, (ref_size, our_size)
+    assert _ratio(ref_size[1], our_size[1]) > 0.8, (ref_size, our_size)
     for rc, oc in zip(ref_counts, our_counts):
-        assert ratio(rc, oc) > 0.5, (ref_counts, our_counts)
-    assert reproj < 5.0
-    # content-level parity: the two panoramas must actually look alike
-    ncc = ref_parity.image_correlation(ref_jpg, our_canvas)
-    assert ncc > 0.5, ncc
+        assert _ratio(rc, oc) > 0.5, (ref_counts, our_counts)
+    assert reproj < 2.5, reproj
+    gt = ref_parity.gt_render(views, truth)
+    ncc_gt = ref_parity.image_correlation(gt, our_canvas)
+    ncc_ref_gt = ref_parity.image_correlation(gt, ref_jpg)
+    ncc_ref = ref_parity.image_correlation(ref_jpg, our_canvas)
+    assert ncc_gt > 0.95, (ncc_gt, ncc_ref_gt)
+    assert ncc_gt >= ncc_ref_gt - 0.02, (ncc_gt, ncc_ref_gt)
+    assert ncc_ref > 0.5, ncc_ref
+
+
+def test_reference_parity_plain_focal(ref_run):
+    """ROBUST_FOCAL=False restores the reference's plain-median focal
+    initialization (camera.cc:69-87) — the documented deviation stays
+    opt-in.  On this set plain-median works fine (measured 0.27 px reproj,
+    ncc vs GT 0.96), so the gates are: near-GT output, and correlation
+    with the reference's JPEG at least as high as GROUND TRUTH's own
+    correlation with it (ncc(ref, gt) ≈ 0.57 here — the reference's
+    camera drift, not ours, caps any ours-vs-ref NCC)."""
+    views, truth, ref_counts, ref_size, ref_jpg = ref_run
+    our_counts, our_size, reproj, our_canvas = ref_parity.run_ours(
+        views, truth, ROBUST_FOCAL=False, **_CAPS
+    )
+
+    assert _ratio(ref_size[0], our_size[0]) > 0.8, (ref_size, our_size)
+    assert _ratio(ref_size[1], our_size[1]) > 0.8, (ref_size, our_size)
+    assert reproj < 2.5, reproj
+    gt = ref_parity.gt_render(views, truth)
+    ncc_gt = ref_parity.image_correlation(gt, our_canvas)
+    ncc_ref_gt = ref_parity.image_correlation(gt, ref_jpg)
+    ncc_ref = ref_parity.image_correlation(ref_jpg, our_canvas)
+    assert ncc_gt > 0.9, (ncc_gt, ncc_ref_gt)
+    assert ncc_ref >= ncc_ref_gt - 0.05, (ncc_ref, ncc_ref_gt)

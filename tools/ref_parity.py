@@ -88,18 +88,55 @@ def image_correlation(path_a: str, img_b) -> float:
     import numpy as np
     from PIL import Image
 
-    a = np.asarray(Image.open(path_a).convert("L").resize((512, 128)),
-                   np.float32)
-    b = np.asarray(
-        Image.fromarray(np.asarray(img_b)).convert("L").resize((512, 128)),
-        np.float32,
-    )
+    def grey(x):
+        im = Image.open(x) if isinstance(x, str) \
+            else Image.fromarray(np.asarray(x))
+        return np.asarray(im.convert("L").resize((512, 128)), np.float32)
+
+    a, b = grey(path_a), grey(img_b)
 
     def norm(x):
         x = x - x.mean()
         return x / max(float(np.sqrt((x ** 2).mean())), 1e-6)
 
     return float((norm(a) * norm(b)).mean())
+
+
+def gt_render(views, truth):
+    """Blend the views with the GROUND-TRUTH cameras through our renderer —
+    the quality yardstick both pipelines are measured against.
+
+    Rationale: on this synthetic set our recovered cameras are near-exact
+    (~0.2 px reprojection) while the reference binary's drift on the far
+    images caps ncc(ours, ref) at ~0.6-0.74 even after local alignment —
+    measured ncc(ref, gt)=0.63 vs ncc(ours, gt)=0.995.  Gating ours
+    against the GT render is therefore both tighter AND fairer than
+    gating against the reference's own (noisier) output."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from openpano_tpu.ops.imgproc import crop_with_mask
+    from openpano_tpu.stitch.render import blend, plan_render
+    from openpano_tpu.stitch.stitcher import _f32_to_u8
+
+    n, H, W = views.shape[:3]
+    mid = n >> 1
+    f = truth["focal_px"]
+    K = np.array([[f, 0, 0], [0, f, 0], [0, 0, 1.0]])
+    homos = np.zeros((n, 3, 3))
+    for i in range(n):
+        dyaw = truth["yaws"][i] - truth["yaws"][mid]
+        R = np.array([
+            [np.cos(dyaw), 0, np.sin(dyaw)],
+            [0, 1, 0],
+            [-np.sin(dyaw), 0, np.cos(dyaw)],
+        ])
+        homos[i] = R @ np.linalg.inv(K)
+    whs = np.repeat([[float(W), float(H)]], n, 0)
+    plan = plan_render(homos, whs, mid, "spherical", 8000)
+    canvas = blend(jnp.asarray(views), plan, ordered=False, multiband=0)
+    u8, valid = (np.asarray(a) for a in _f32_to_u8(canvas))
+    return crop_with_mask(u8, valid)
 
 
 def run_ours(views, truth, **overrides):
@@ -202,9 +239,16 @@ def main() -> int:
                    and ratio(ref_size[1], our_size[1]) > 0.8)
         kp_ratios = [ratio(a, b) for a, b in zip(ref_counts, our_counts)]
         kp_ok = all(r > 0.5 for r in kp_ratios)
-        reproj_ok = reproj < 5.0
+        reproj_ok = reproj < 2.5
         ncc = image_correlation(ref_jpg, our_canvas)
-        ncc_ok = ncc > 0.5
+        gt = gt_render(views, truth)
+        ncc_gt = image_correlation(gt, our_canvas)
+        ncc_ref_gt = image_correlation(gt, ref_jpg)
+        # ours must match the ground-truth render tightly AND at least as
+        # well as the reference's own output does (see gt_render's doc);
+        # the raw ours-vs-ref NCC stays as a loose content sanity check
+        ncc_ok = (ncc_gt > 0.95 and ncc_gt >= ncc_ref_gt - 0.02
+                  and ncc > 0.5)
         verdict = {
             "ok": bool(size_ok and kp_ok and reproj_ok and ncc_ok),
             "ref_final_size": list(ref_size),
@@ -216,7 +260,9 @@ def main() -> int:
             "kp_ok": kp_ok,
             "mean_reproj_err_px": round(reproj, 3),
             "reproj_ok": reproj_ok,
-            "pixel_ncc": round(ncc, 3),
+            "pixel_ncc_vs_ref": round(ncc, 3),
+            "pixel_ncc_vs_gt": round(ncc_gt, 3),
+            "ref_ncc_vs_gt": round(ncc_ref_gt, 3),
             "ncc_ok": ncc_ok,
         }
         print(json.dumps(verdict))
