@@ -245,54 +245,63 @@ def _ori_hist_pallas(S: int, Hp: int, Wp: int, K: int, WR: int,
     nblk = -(-K // _BK)
     BKWR = _BK * WR
 
-    def kernel(s_ref, r0_ref, c0_ref, meta_ref, a_ref, b_ref, out_ref,
-               maga, orta, sem):
+    def kernel(s_ref, r0_ref, c0_ref, blk_ref, meta_ref, a_ref, b_ref,
+               out_ref, maga, orta, sem):
         i = pl.program_id(0)
 
-        def dma(k, plane_ref, scr_ref, slot):
-            kk = i * jnp.int32(_BK) + jnp.int32(k)
-            r0 = pl.multiple_of(r0_ref[kk], 8)
-            c0 = pl.multiple_of(c0_ref[kk], 128)
-            return pltpu.make_async_copy(
-                plane_ref.at[s_ref[kk], pl.ds(r0, WR), pl.ds(c0, SLAB_LANES)],
-                scr_ref.at[pl.ds(k * WR, WR)],
-                sem.at[jnp.int32(k), jnp.int32(slot)],
+        @pl.when(blk_ref[i] == 0)
+        def _():
+            out_ref[...] = jnp.zeros((_BK, ORI_NBINS), jnp.float32)
+
+        @pl.when(blk_ref[i] != 0)
+        def _():
+            def dma(k, plane_ref, scr_ref, slot):
+                kk = i * jnp.int32(_BK) + jnp.int32(k)
+                r0 = pl.multiple_of(r0_ref[kk], 8)
+                c0 = pl.multiple_of(c0_ref[kk], 128)
+                return pltpu.make_async_copy(
+                    plane_ref.at[s_ref[kk], pl.ds(r0, WR),
+                                 pl.ds(c0, SLAB_LANES)],
+                    scr_ref.at[pl.ds(k * WR, WR)],
+                    sem.at[jnp.int32(k), jnp.int32(slot)],
+                )
+
+            for k in range(_BK):
+                dma(k, a_ref, maga, 0).start()
+                dma(k, b_ref, orta, 1).start()
+            for k in range(_BK):
+                dma(k, a_ref, maga, 0).wait()
+                dma(k, b_ref, orta, 1).wait()
+
+            m = meta_ref[...]                 # [BKWR, 8] f32
+            dy = m[:, 0:1]                    # r0 - y + row, per slab row
+            dxb = m[:, 1:2]                   # c0 - x
+            rad, invden = m[:, 2:3], m[:, 3:4]
+            py = m[:, 4:5]                    # plane row r0 + row
+            c0f = m[:, 5:6]
+            hb, wb = m[:, 6:7], m[:, 7:8]     # per-keypoint octave dims
+
+            shp = (BKWR, SLAB_LANES)
+            ic = jax.lax.broadcasted_iota(jnp.int32, shp, 1).astype(jnp.float32)
+            wgt, bins = _ori_hist_math(
+                maga[...], orta[...], dy, ic + dxb,
+                py, ic + c0f, rad, invden, hb, wb, ORI_NBINS,
             )
-
-        for k in range(_BK):
-            dma(k, a_ref, maga, 0).start()
-            dma(k, b_ref, orta, 1).start()
-        for k in range(_BK):
-            dma(k, a_ref, maga, 0).wait()
-            dma(k, b_ref, orta, 1).wait()
-
-        m = meta_ref[...]                     # [BKWR, 8] f32
-        dy = m[:, 0:1]                        # r0 - y + row, per slab row
-        dxb = m[:, 1:2]                       # c0 - x
-        rad, invden = m[:, 2:3], m[:, 3:4]
-        py = m[:, 4:5]                        # plane row r0 + row
-        c0f = m[:, 5:6]
-        hb, wb = m[:, 6:7], m[:, 7:8]         # per-keypoint octave dims
-
-        shp = (BKWR, SLAB_LANES)
-        ic = jax.lax.broadcasted_iota(jnp.int32, shp, 1).astype(jnp.float32)
-        wgt, bins = _ori_hist_math(
-            maga[...], orta[...], dy, ic + dxb,
-            py, ic + c0f, rad, invden, hb, wb, ORI_NBINS,
-        )
-        rows = jnp.concatenate([
-            jnp.sum(jnp.where(bins == b, wgt, 0.0), axis=1, keepdims=True)
-            for b in range(ORI_NBINS)
-        ], axis=1)                            # [BKWR, 36] row partials
-        # segment matmul: out[k, b] = sum of rows[k*WR:(k+1)*WR, b]
-        kp_of_row = jax.lax.broadcasted_iota(jnp.int32, (_BK, BKWR), 1) // WR
-        kp_id = jax.lax.broadcasted_iota(jnp.int32, (_BK, BKWR), 0)
-        seg = (kp_of_row == kp_id).astype(jnp.float32)
-        out_ref[...] = jnp.dot(seg, rows, preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.HIGHEST)
+            rows = jnp.concatenate([
+                jnp.sum(jnp.where(bins == b, wgt, 0.0), axis=1, keepdims=True)
+                for b in range(ORI_NBINS)
+            ], axis=1)                        # [BKWR, 36] row partials
+            # segment matmul: out[k, b] = sum of rows[k*WR:(k+1)*WR, b]
+            kp_of_row = (jax.lax.broadcasted_iota(jnp.int32, (_BK, BKWR), 1)
+                         // WR)
+            kp_id = jax.lax.broadcasted_iota(jnp.int32, (_BK, BKWR), 0)
+            seg = (kp_of_row == kp_id).astype(jnp.float32)
+            out_ref[...] = jnp.dot(seg, rows,
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(nblk,),
         in_specs=[
             pl.BlockSpec((BKWR, 8), lambda i, *_: (i, 0),
@@ -344,15 +353,16 @@ def _ori_hist_xla(ap, bp, sc, r0, c0, y, x, rad, invden, hb, wb_, WR):
 @functools.lru_cache(maxsize=32)
 def _make_ori_hist(WR: int):
     @jax.custom_batching.custom_vmap
-    def ori_hist(a, b, s, y, x, rad, invden, hb, wb):
+    def ori_hist(a, b, s, y, x, rad, invden, hb, wb, active):
         S, H, W = a.shape
         K = s.shape[0]
         sc, r0, c0 = _starts(s, y, x, S, H, W, WR)
         ap, bp = _pad_plane(a, WR), _pad_plane(b, WR)
         on_tpu = jax.default_backend() == "tpu"
+        amask = active.astype(jnp.float32)
         if not on_tpu and not INTERPRET:
             return _ori_hist_xla(ap, bp, sc, r0, c0, y, x, rad, invden,
-                                 hb, wb, WR)
+                                 hb, wb, WR) * amask[:, None]
         nblk = -(-K // _BK)
         padn = nblk * _BK - K
         if padn:
@@ -360,6 +370,8 @@ def _make_ori_hist(WR: int):
             y, x = (jnp.pad(v, (0, padn)) for v in (y, x))
             rad, invden = (jnp.pad(v, (0, padn)) for v in (rad, invden))
             hb, wb = (jnp.pad(v, (0, padn)) for v in (hb, wb))
+        blk = (jnp.pad(active, (0, padn)).reshape(nblk, _BK)
+               .any(axis=1).astype(jnp.int32))
         # per-slab-row metadata [Kp*WR, 8]: cols 0=dy(row), 1=c0-x, 2=rad,
         # 3=invden, 4=plane row (r0+row), 5=c0, 6/7=per-kp octave h/w
         rws = jnp.arange(WR, dtype=jnp.float32)[None, :]        # [1, WR]
@@ -373,16 +385,17 @@ def _make_ori_hist(WR: int):
         ], axis=-1).reshape(nblk * _BK * WR, 8)
         with jax.enable_x64(False):
             hist = _ori_hist_pallas(S, ap.shape[1], ap.shape[2], K, WR, H, W,
-                                    interpret=not on_tpu)(sc, r0, c0, meta, ap, bp)
-        return hist[:K]
+                                    interpret=not on_tpu)(sc, r0, c0, blk,
+                                                          meta, ap, bp)
+        return hist[:K] * amask[:, None]
 
     @ori_hist.def_vmap
     def _ori_hist_vmap(axis_size, in_batched, a, b, s, y, x, rad, invden,
-                       hb, wb):
+                       hb, wb, active):
         B = axis_size
-        args = [a, b, s, y, x, rad, invden, hb, wb]
+        args = [a, b, s, y, x, rad, invden, hb, wb, active]
         bcast = lambda v, was: v if was else jnp.broadcast_to(v[None], (B,) + v.shape)
-        a, b, s, y, x, rad, invden, hb, wb = (
+        a, b, s, y, x, rad, invden, hb, wb, active = (
             bcast(v, w) for v, w in zip(args, in_batched)
         )
         _, S, H, W = a.shape
@@ -393,7 +406,7 @@ def _make_ori_hist(WR: int):
             a.reshape(B * S, H, W), b.reshape(B * S, H, W),
             s_flat, y.reshape(-1), x.reshape(-1),
             rad.reshape(-1), invden.reshape(-1),
-            hb.reshape(-1), wb.reshape(-1),
+            hb.reshape(-1), wb.reshape(-1), active.reshape(-1),
         )
         return hist.reshape(B, K, ORI_NBINS), True
 
@@ -449,76 +462,101 @@ def _desc_hist_pallas(S: int, Hp: int, Wp: int, K: int, WR: int,
     BKWR = _BKD * WR
     NB, W4 = DESC_NB, DESC_W4
 
-    def kernel(s_ref, r0_ref, c0_ref, meta_ref, a_ref, b_ref, out_ref,
-               maga, orta, sem):
+    def kernel(s_ref, r0_ref, c0_ref, blk_ref, meta_ref, a_ref, b_ref,
+               out_ref, maga, orta, cscr, sem):
         i = pl.program_id(0)
 
-        def dma(k, plane_ref, scr_ref, slot):
-            kk = i * jnp.int32(_BKD) + jnp.int32(k)
-            r0 = pl.multiple_of(r0_ref[kk], 8)
-            c0 = pl.multiple_of(c0_ref[kk], 128)
-            return pltpu.make_async_copy(
-                plane_ref.at[s_ref[kk], pl.ds(r0, WR), pl.ds(c0, SLAB_LANES)],
-                scr_ref.at[pl.ds(k * WR, WR)],
-                sem.at[jnp.int32(k), jnp.int32(slot)],
+        # whole-block skip: keypoint slots are prefix-compacted, so blocks
+        # past the valid count carry no work — write zeros and return
+        # (on the headline workload ~55% of capacity slots are padding)
+        @pl.when(blk_ref[i] == 0)
+        def _():
+            out_ref[...] = jnp.zeros((_BKD, W4 * W4 * NB), jnp.float32)
+
+        @pl.when(blk_ref[i] != 0)
+        def _():
+            def dma(k, plane_ref, scr_ref, slot):
+                kk = i * jnp.int32(_BKD) + jnp.int32(k)
+                r0 = pl.multiple_of(r0_ref[kk], 8)
+                c0 = pl.multiple_of(c0_ref[kk], 128)
+                return pltpu.make_async_copy(
+                    plane_ref.at[s_ref[kk], pl.ds(r0, WR),
+                                 pl.ds(c0, SLAB_LANES)],
+                    scr_ref.at[pl.ds(k * WR, WR)],
+                    sem.at[jnp.int32(k), jnp.int32(slot)],
+                )
+
+            for k in range(_BKD):
+                dma(k, a_ref, maga, 0).start()
+                dma(k, b_ref, orta, 1).start()
+            for k in range(_BKD):
+                dma(k, a_ref, maga, 0).wait()
+                dma(k, b_ref, orta, 1).wait()
+
+            m = meta_ref[...]                     # [BKWR, 16] f32
+            dy, dxb = m[:, 0:1], m[:, 1:2]
+            radius, hw = m[:, 2:3], m[:, 3:4]
+            py, c0f = m[:, 4:5], m[:, 5:6]
+            cos_o, sin_o, dirv = m[:, 6:7], m[:, 7:8], m[:, 8:9]
+            hb, wb = m[:, 9:10], m[:, 10:11]      # per-keypoint octave dims
+
+            shp = (BKWR, SLAB_LANES)
+            ic = jax.lax.broadcasted_iota(jnp.int32, shp, 1).astype(jnp.float32)
+            wgt, ybin, xbin, hbin = _desc_elem_math(
+                maga[...], orta[...], dy, ic + dxb, py, ic + c0f,
+                radius, hw, cos_o, sin_o, dirv, hb, wb,
             )
-
-        for k in range(_BKD):
-            dma(k, a_ref, maga, 0).start()
-            dma(k, b_ref, orta, 1).start()
-        for k in range(_BKD):
-            dma(k, a_ref, maga, 0).wait()
-            dma(k, b_ref, orta, 1).wait()
-
-        m = meta_ref[...]                     # [BKWR, 16] f32
-        dy, dxb = m[:, 0:1], m[:, 1:2]
-        radius, hw = m[:, 2:3], m[:, 3:4]
-        py, c0f = m[:, 4:5], m[:, 5:6]
-        cos_o, sin_o, dirv = m[:, 6:7], m[:, 7:8], m[:, 8:9]
-        hb, wb = m[:, 9:10], m[:, 10:11]      # per-keypoint octave dims
-
-        shp = (BKWR, SLAB_LANES)
-        ic = jax.lax.broadcasted_iota(jnp.int32, shp, 1).astype(jnp.float32)
-        wgt, ybin, xbin, hbin = _desc_elem_math(
-            maga[...], orta[...], dy, ic + dxb, py, ic + c0f,
-            radius, hw, cos_o, sin_o, dirv, hb, wb,
-        )
-        hat = lambda d: jnp.maximum(0.0, 1.0 - jnp.abs(d))
-
-        # fori_loop (not an unrolled python loop) over the 128 bins so
-        # Mosaic reuses the per-iteration slab-sized temporaries — an
-        # unrolled loop allocates every iteration's buffers on the kernel
-        # stack simultaneously and blows the 16 MB scoped-vmem limit
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, W4 * W4 * NB), 1)
-
-        def body(c, acc):
-            # lax.div/rem on non-negative i32 == floor semantics; jnp's //
-            # builds sign-fixup consts that trip Mosaic's no-i64 rule
+            hat = lambda d: jnp.maximum(0.0, 1.0 - jnp.abs(d))
             div, rem = jax.lax.div, jax.lax.rem
             f32 = lambda v: jax.lax.convert_element_type(v, jnp.float32)
-            by = f32(div(c, jnp.int32(W4 * NB)))
-            bx = f32(rem(div(c, jnp.int32(NB)), jnp.int32(W4)))
-            o = f32(rem(c, jnp.int32(NB)))
-            wab = wgt * hat(ybin - by) * hat(xbin - bx)
-            d = jnp.abs(hbin - o)
-            co = hat(jnp.minimum(d, NB - d))
-            col = jnp.sum(wab * co, axis=1, keepdims=True)   # [BKWR, 1]
-            # place into lane c via mask (dynamic-lane ref stores are not
-            # lowerable); one fused select+add per iteration
-            return acc + jnp.where(lane == c, col, 0.0)
 
-        rows = jax.lax.fori_loop(
-            0, W4 * W4 * NB, body,
-            jnp.zeros((BKWR, W4 * W4 * NB), jnp.float32),
-        )
-        kp_of_row = jax.lax.broadcasted_iota(jnp.int32, (_BKD, BKWR), 1) // WR
-        kp_id = jax.lax.broadcasted_iota(jnp.int32, (_BKD, BKWR), 0)
-        seg = (kp_of_row == kp_id).astype(jnp.float32)
-        out_ref[...] = jnp.dot(seg, rows, preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.HIGHEST)
+            # the trilinear product factorizes: hist[(q=by*4+bx), o] =
+            # sum_p [wgt*hatY_q*hatX_q](p) * [hatO_o](p).  Precompute the 8
+            # orientation hat planes ONCE into scratch, then per spatial
+            # cell q build its weight plane once and take 8 cheap
+            # product+reduce passes — ~2.5x fewer slab passes than the
+            # previous 128x full-math loop.  fori_loops (not unrolled
+            # python loops) so Mosaic reuses the slab-sized temporaries.
+            def pre_o(o, _):
+                d = jnp.abs(hbin - f32(o))
+                cscr[o] = hat(jnp.minimum(d, NB - d))
+                return 0
+
+            jax.lax.fori_loop(0, NB, pre_o, 0)
+
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, W4 * W4 * NB), 1)
+
+            def body_q(q, acc):
+                # lax.div/rem on non-negative i32 == floor semantics;
+                # jnp's // builds sign-fixup consts that trip Mosaic's
+                # no-i64 rule
+                by = f32(div(q, jnp.int32(W4)))
+                bx = f32(rem(q, jnp.int32(W4)))
+                U = wgt * hat(ybin - by) * hat(xbin - bx)
+
+                def body_o(o, acc):
+                    col = jnp.sum(U * cscr[o], axis=1, keepdims=True)
+                    c = q * jnp.int32(NB) + o
+                    # place into lane c via mask (dynamic-lane ref stores
+                    # are not lowerable); one fused select+add
+                    return acc + jnp.where(lane == c, col, 0.0)
+
+                return jax.lax.fori_loop(0, NB, body_o, acc)
+
+            rows = jax.lax.fori_loop(
+                0, W4 * W4, body_q,
+                jnp.zeros((BKWR, W4 * W4 * NB), jnp.float32),
+            )
+            kp_of_row = (jax.lax.broadcasted_iota(jnp.int32, (_BKD, BKWR), 1)
+                         // WR)
+            kp_id = jax.lax.broadcasted_iota(jnp.int32, (_BKD, BKWR), 0)
+            seg = (kp_of_row == kp_id).astype(jnp.float32)
+            out_ref[...] = jnp.dot(seg, rows,
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(nblk,),
         in_specs=[
             pl.BlockSpec((BKWR, 16), lambda i, *_: (i, 0),
@@ -531,6 +569,7 @@ def _desc_hist_pallas(S: int, Hp: int, Wp: int, K: int, WR: int,
         scratch_shapes=[
             pltpu.VMEM((BKWR, SLAB_LANES), jnp.float32),
             pltpu.VMEM((BKWR, SLAB_LANES), jnp.float32),
+            pltpu.VMEM((DESC_NB, BKWR, SLAB_LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((_BKD, 2)),
         ],
     )
@@ -599,15 +638,18 @@ def _desc_hist_xla(ap, bp, sc, r0, c0, y, x, radius, hw, cos_o, sin_o, dirv,
 @functools.lru_cache(maxsize=32)
 def _make_desc_hist(WR: int):
     @jax.custom_batching.custom_vmap
-    def desc_hist(a, b, s, y, x, radius, hw, cos_o, sin_o, dirv, hb, wb):
+    def desc_hist(a, b, s, y, x, radius, hw, cos_o, sin_o, dirv, hb, wb,
+                  active):
         S, H, W = a.shape
         K = s.shape[0]
         sc, r0, c0 = _starts(s, y, x, S, H, W, WR)
         ap, bp = _pad_plane(a, WR), _pad_plane(b, WR)
         on_tpu = jax.default_backend() == "tpu"
+        amask = active.astype(jnp.float32)
         if not on_tpu and not INTERPRET:
             return _desc_hist_xla(ap, bp, sc, r0, c0, y, x, radius, hw,
-                                  cos_o, sin_o, dirv, hb, wb, WR)
+                                  cos_o, sin_o, dirv, hb, wb,
+                                  WR) * amask[:, None]
         nblk = -(-K // _BKD)
         padn = nblk * _BKD - K
         if padn:
@@ -617,6 +659,10 @@ def _make_desc_hist(WR: int):
             cos_o, sin_o = (jnp.pad(v, (0, padn)) for v in (cos_o, sin_o))
             dirv = jnp.pad(dirv, (0, padn))
             hb, wb = (jnp.pad(v, (0, padn)) for v in (hb, wb))
+        # per-block any(active): slots are prefix-compacted, so padding
+        # blocks skip their DMA + soft-binning entirely in the kernel
+        blk = (jnp.pad(active, (0, padn)).reshape(nblk, _BKD)
+               .any(axis=1).astype(jnp.int32))
         rws = jnp.arange(WR, dtype=jnp.float32)[None, :]
         r0f = r0.astype(jnp.float32)[:, None]
         rep = lambda v: jnp.broadcast_to(v.astype(jnp.float32)[:, None],
@@ -631,17 +677,18 @@ def _make_desc_hist(WR: int):
         ], axis=-1).reshape(nblk * _BKD * WR, 16)
         with jax.enable_x64(False):
             hist = _desc_hist_pallas(S, ap.shape[1], ap.shape[2], K, WR, H, W,
-                                     interpret=not on_tpu)(sc, r0, c0, meta, ap, bp)
-        return hist[:K]
+                                     interpret=not on_tpu)(sc, r0, c0, blk,
+                                                           meta, ap, bp)
+        return hist[:K] * amask[:, None]
 
     @desc_hist.def_vmap
     def _desc_hist_vmap(axis_size, in_batched, a, b, s, y, x, radius, hw,
-                        cos_o, sin_o, dirv, hb, wb):
+                        cos_o, sin_o, dirv, hb, wb, active):
         B = axis_size
         vb = list(in_batched)
-        args = [a, b, s, y, x, radius, hw, cos_o, sin_o, dirv, hb, wb]
+        args = [a, b, s, y, x, radius, hw, cos_o, sin_o, dirv, hb, wb, active]
         bcast = lambda v, was: v if was else jnp.broadcast_to(v[None], (B,) + v.shape)
-        a, b, s, y, x, radius, hw, cos_o, sin_o, dirv, hb, wb = (
+        a, b, s, y, x, radius, hw, cos_o, sin_o, dirv, hb, wb, active = (
             bcast(v, w) for v, w in zip(args, vb)
         )
         _, S, H, W = a.shape
@@ -652,7 +699,7 @@ def _make_desc_hist(WR: int):
             a.reshape(B * S, H, W), b.reshape(B * S, H, W), s_flat,
             y.reshape(-1), x.reshape(-1), radius.reshape(-1), hw.reshape(-1),
             cos_o.reshape(-1), sin_o.reshape(-1), dirv.reshape(-1),
-            hb.reshape(-1), wb.reshape(-1),
+            hb.reshape(-1), wb.reshape(-1), active.reshape(-1),
         )
         return hist.reshape(B, K, DESC_W4 * DESC_W4 * DESC_NB), True
 
@@ -660,36 +707,46 @@ def _make_desc_hist(WR: int):
 
 
 def descriptor_histogram(mag, ort, s, y, x, radius, hw, dirv, WR: int,
-                         wh=None):
+                         wh=None, valid=None):
     """Per-keypoint raw SIFT histogram [K, 128] (pre-RootSIFT), fused
     window-DMA + rotated trilinear soft-binning kernel.  radius: [K] rounded
     circular window radius; hw: [K] spatial bin width (hist_w); dirv: [K]
     keypoint direction; wh: optional [K,2] per-keypoint (w, h) bounds for
-    stacked-octave planes.  Batch with jax.vmap."""
+    stacked-octave planes; valid: optional [K] bool — rows of INVALID slots
+    come back zero, and (slots being prefix-compacted) whole blocks of
+    padding skip their DMA + binning inside the kernel.  Batch with
+    jax.vmap."""
     assert WR % 8 == 0, WR
     hb, wb = _kp_bounds(mag, s, wh)
+    if valid is None:
+        valid = jnp.ones(s.shape, bool)
     return _make_desc_hist(WR)(
         mag, ort, s, y, x,
         radius.astype(jnp.float32), hw.astype(jnp.float32),
         jnp.cos(dirv).astype(jnp.float32), jnp.sin(dirv).astype(jnp.float32),
-        dirv.astype(jnp.float32), hb, wb,
+        dirv.astype(jnp.float32), hb, wb, valid,
     )
 
 
 def orientation_histogram(mag: jnp.ndarray, ort: jnp.ndarray, s: jnp.ndarray,
                           y: jnp.ndarray, x: jnp.ndarray, rad: jnp.ndarray,
                           invden: jnp.ndarray, WR: int,
-                          wh: jnp.ndarray | None = None) -> jnp.ndarray:
+                          wh: jnp.ndarray | None = None,
+                          valid: jnp.ndarray | None = None) -> jnp.ndarray:
     """Per-keypoint 36-bin orientation histogram, fused window-DMA +
     histogram kernel.  mag/ort: [S, H, W] planes; s/y/x: [K] keypoint
     location; rad: [K] integral circular-window radius (already rounded);
     invden: [K] = 1/(2 sigma^2) gaussian weight factor.  Returns [K, 36].
     wh: optional [K,2] per-keypoint (w, h) interior bounds — pass when
     several octaves share one stacked plane (defaults to the plane dims).
+    valid: optional [K] bool — INVALID slots come back zero and (slots
+    being prefix-compacted) whole padding blocks skip their DMA + binning.
     Batch with jax.vmap (folds into one kernel call)."""
     assert WR % 8 == 0, WR
     hb, wb = _kp_bounds(mag, s, wh)
-    return _make_ori_hist(WR)(mag, ort, s, y, x, rad, invden, hb, wb)
+    if valid is None:
+        valid = jnp.ones(s.shape, bool)
+    return _make_ori_hist(WR)(mag, ort, s, y, x, rad, invden, hb, wb, valid)
 
 
 def _kp_bounds(plane, s, wh):

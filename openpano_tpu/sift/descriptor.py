@@ -69,7 +69,8 @@ def describe_keypoints(kp: OrientedKeypoints, mag: jnp.ndarray,
     hist_w = kp.scale_factor * cfg.DESC_HIST_SCALE_FACTOR
     radius = _round_half_away((0.5 ** 0.5) * hist_w * (W4 + 1))
     hists = descriptor_histogram(
-        mag, ort, kp.s, kp.y, kp.x, radius, hist_w, kp.dir, WR, wh=wh
+        mag, ort, kp.s, kp.y, kp.x, radius, hist_w, kp.dir, WR, wh=wh,
+        valid=kp.valid,
     )
 
     # RootSIFT (sift.cc:37-45)

@@ -129,7 +129,10 @@ def detect_extrema(octave: Octave, cfg: Config, cap_cand: int | None = None,
     cap_cand = cfg.MAX_CAND_PER_OCTAVE if cap_cand is None else cap_cand
     cap_kp = cfg.MAX_KP_PER_OCTAVE if cap_kp is None else cap_kp
 
-    cand = _candidate_mask(dog, cfg)
+    # only levels j in [1, NUM_SCALE-3] are scanned (extrema.cc:41) — slice
+    # them out BEFORE compaction so the flat mask is 1/3 smaller (the
+    # never-scanned boundary levels' neighbor-max work DCEs away too)
+    cand = _candidate_mask(dog, cfg)[1 : ns - 2]
     # capped compaction: strict 26-neighbor extrema are never adjacent, so
     # 32 hits per 128 lanes is a safe local bound and this avoids the exact
     # algorithm's per-slot row gather over the multi-million-lane mask
@@ -137,7 +140,7 @@ def detect_extrema(octave: Octave, cfg: Config, cap_cand: int | None = None,
     lane = jnp.arange(cap_cand)
     alive = lane < n_cand
 
-    s = (flat_idx // (h * w)).astype(jnp.int32)
+    s = (flat_idx // (h * w)).astype(jnp.int32) + 1
     y = ((flat_idx // w) % h).astype(jnp.int32)
     x = (flat_idx % w).astype(jnp.int32)
 

@@ -96,6 +96,7 @@ def orient_keypoints(kp: RawKeypoints, mag: jnp.ndarray, ort: jnp.ndarray,
     hist = orientation_histogram(
         mag, ort, kp.s, kp.y, kp.x,
         rad.astype(jnp.float32), invden.astype(jnp.float32), WR, wh=wh,
+        valid=kp.valid,
     )                                                               # [K, nbins]
 
     for _ in range(cfg.ORI_HIST_SMOOTH_COUNT):

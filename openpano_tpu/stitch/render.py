@@ -637,6 +637,16 @@ def blend_linear_sharded(imgs: jnp.ndarray, plan: RenderPlan, ordered: bool,
     stack (NI = max distinct images per band, typically ~N/G + overlap) —
     so adding devices adds both canvas AND image capacity.
 
+    ``imgs`` may be a DEVICE array (the regroup gather runs on device —
+    fine when the full stack fits one HBM) or a HOST numpy array (u8 or
+    f32): then each band's slice is gathered in host memory and uploaded
+    straight to its own device via a band-sharded device_put, so the full
+    image stack NEVER exists in any single device's memory — the
+    beyond-one-HBM scale path (reference memory model: LAZY_READ,
+    README.md:133-136; canvas guards stitcher_image.cc:105-106).  uint8
+    input stays uint8 on the wire (4x cheaper) and converts per band on
+    device.
+
     Returns the blended [out_h, out_w, 3] canvas (host numpy, INVALID where
     empty)."""
     axis = mesh.axis_names[0]
@@ -661,25 +671,59 @@ def blend_linear_sharded(imgs: jnp.ndarray, plan: RenderPlan, ordered: bool,
         g_rng[g, : len(bi)] = br
         g_org[g, : len(bi)] = bo
 
-    run = _sharded_blend_program(mesh, axis, nd, Hp, SW, TH, TW,
-                                 plan.proj, ordered)
-    canvas = run(
-        imgs.astype(jnp.float32), jnp.asarray(g_map),
-        jnp.asarray(g_idx), jnp.asarray(g_rng), jnp.asarray(g_org),
-        jnp.asarray(plan.homo_invs), jnp.asarray(plan.whs, jnp.float32),
-        jnp.asarray(plan.proj_min, jnp.float32),
-        jnp.asarray(plan.resolution, jnp.float32),
-    )
+    if isinstance(imgs, np.ndarray):
+        # host path: band-slice in host RAM, upload each band straight to
+        # its device — no device ever sees the [N, H, W, 3] full stack
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        band_sh = NamedSharding(mesh, P(axis))
+        u8 = imgs.dtype == np.uint8
+        imgs_b = _device_put_banded(
+            np.ascontiguousarray(imgs[g_map]), band_sh)
+        hinv_b = jax.device_put(plan.homo_invs[g_map], band_sh)
+        whs_b = jax.device_put(
+            plan.whs[g_map].astype(np.float32), band_sh)
+        run = _sharded_blend_program(mesh, axis, nd, Hp, SW, TH, TW,
+                                     plan.proj, ordered,
+                                     pre_sliced=True, u8=u8)
+        canvas = run(
+            imgs_b, jnp.asarray(g_idx), jnp.asarray(g_rng),
+            jnp.asarray(g_org), hinv_b, whs_b,
+            jnp.asarray(plan.proj_min, jnp.float32),
+            jnp.asarray(plan.resolution, jnp.float32),
+        )
+    else:
+        run = _sharded_blend_program(mesh, axis, nd, Hp, SW, TH, TW,
+                                     plan.proj, ordered)
+        canvas = run(
+            imgs.astype(jnp.float32), jnp.asarray(g_map),
+            jnp.asarray(g_idx), jnp.asarray(g_rng), jnp.asarray(g_org),
+            jnp.asarray(plan.homo_invs), jnp.asarray(plan.whs, jnp.float32),
+            jnp.asarray(plan.proj_min, jnp.float32),
+            jnp.asarray(plan.resolution, jnp.float32),
+        )
     return np.asarray(canvas)[: plan.out_h, : plan.out_w]
+
+
+def _device_put_banded(host_arr: np.ndarray, band_sharding):
+    """Upload a [G, ...] host array band-sharded (shard g goes straight to
+    device g; no full-stack device buffer).  A seam so tests can observe
+    exactly what the beyond-HBM path puts on devices."""
+    return jax.device_put(host_arr, band_sharding)
 
 
 @functools.lru_cache(maxsize=32)
 def _sharded_blend_program(mesh, axis: str, nd: int, Hp: int, SW: int,
-                           TH: int, TW: int, proj: str, ordered: bool):
+                           TH: int, TW: int, proj: str, ordered: bool,
+                           pre_sliced: bool = False, u8: bool = False):
     """Build (and cache) the jitted shard_map program for one band
     geometry — module-level cache so repeated calls with the same mesh
     and canvas geometry reuse the compiled executable instead of
-    retracing a fresh closure every time."""
+    retracing a fresh closure every time.
+
+    pre_sliced: the caller already provides [G, NI, ...] band-sharded
+    image slices (the beyond-HBM host upload path) — skip the on-device
+    regroup gather.  u8: slices arrive uint8 and convert per band."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     band_sh = NamedSharding(mesh, P(axis))
@@ -694,9 +738,12 @@ def _sharded_blend_program(mesh, axis: str, nd: int, Hp: int, SW: int,
         w_acc = jax.lax.pcast(
             jnp.zeros((Hp, SW + TW), jnp.float32), (axis,), to="varying"
         )
+        band = imgs[0]
+        if u8:
+            band = band.astype(jnp.float32) / 255.0
         # pair AFTER the band slice (pairing is per image, so it commutes
         # with the slice) — the 2x paired stack exists only per band
-        imgs_paired = pair_imgs_x(imgs[0])
+        imgs_paired = pair_imgs_x(band)
         color_acc, w_acc = _blend_scan(
             color_acc, w_acc, imgs_paired, homo_invs[0], whs[0],
             idx[0], rng[0], org[0], proj_min, resolution,
@@ -723,15 +770,26 @@ def _sharded_blend_program(mesh, axis: str, nd: int, Hp: int, SW: int,
         out_specs=P(None, axis),
     )
 
+    if pre_sliced:
+        # beyond-HBM path: the caller uploads [G, NI, ...] band slices
+        # straight from host RAM — no full-stack device operand anywhere
+        @jax.jit
+        def run_presliced(imgs_b, idx, rng, org, hinv_b, whs_b, proj_min,
+                          resolution):
+            return sharded(imgs_b, idx, rng, org, hinv_b, whs_b,
+                           proj_min, resolution)
+
+        return run_presliced
+
     @jax.jit
     def run(imgs, g_map, idx, rng, org, homo_invs, whs, proj_min,
             resolution):
         # band-slice the per-image data so each device holds only the
         # images its jobs reference ([G, NI, ...], sharded over bands) —
-        # steady-state image memory scales with devices (the gather's
-        # full-stack operand is still materialized once while slicing; a
-        # multi-host IO path that shards images from decode onward is the
-        # remaining step for image sets beyond one device's HBM)
+        # steady-state image memory scales with devices (this device-side
+        # gather materializes its full-stack operand once, so it's only
+        # for sets that fit one HBM; pass host numpy images to
+        # blend_linear_sharded for the beyond-HBM band-upload path)
         imgs_b = jax.lax.with_sharding_constraint(imgs[g_map], band_sh)
         hinv_b = jax.lax.with_sharding_constraint(homo_invs[g_map], band_sh)
         whs_b = jax.lax.with_sharding_constraint(whs[g_map], band_sh)

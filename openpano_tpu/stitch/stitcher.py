@@ -280,13 +280,15 @@ def stitch(imgs: np.ndarray, cfg: Config, key=None, output: str = "f32",
     if mesh is not None:
         from .stitcherbase import compute_features_sharded
 
-        with total_timer("upload"):
-            imgs = jnp.asarray(imgs)
-            imgs = _u8_to_f32(imgs) if imgs.dtype == jnp.uint8 else imgs.astype(jnp.float32)
-            jax.block_until_ready(imgs)
-        with total_timer("calc_feature"):
-            feats = compute_features_sharded(imgs, cfg, mesh)
+        # host u8 kept for the beyond-HBM blend path (band slices upload
+        # straight to their devices; no full-stack device buffer)
+        host_imgs = imgs if isinstance(imgs, np.ndarray) else None
+        with total_timer("upload+calc_feature"):
+            imgs, feats = compute_features_sharded(imgs, cfg, mesh)
             jax.block_until_ready(feats)
+        whs_np = np.repeat([[float(W), float(H)]], n, 0)
+        return _stitch_core(imgs, feats, whs_np, cfg, key, output, mesh,
+                            info_out, host_imgs=host_imgs)
     elif isinstance(imgs, np.ndarray) and imgs.dtype == np.uint8:
         # pipelined path: delta-coded batch uploads overlap the SIFT compute
         with total_timer("upload+calc_feature"):
@@ -370,7 +372,8 @@ def stitch_hetero(imgs_list, cfg: Config, key=None, output: str = "f32",
 
 def _stitch_core(imgs, feats, whs_np: np.ndarray, cfg: Config, key,
                  output: str, mesh, info_out: dict | None = None,
-                 graph: PairwiseGraph | None = None):
+                 graph: PairwiseGraph | None = None,
+                 host_imgs: np.ndarray | None = None):
     """Shared tail of Stitcher::build after feature extraction: pairwise
     match graph -> camera estimation (or homography chaining) -> render
     plan -> blend (stitcher.cc:38-63).
@@ -424,10 +427,25 @@ def _stitch_core(imgs, feats, whs_np: np.ndarray, cfg: Config, key,
             info_out["homos"] = homos
             info_out["plan"] = plan
         if mesh is not None and cfg.MULTIBAND == 0:
+            import os as _os
+
             from .render import blend_linear_sharded
 
+            # beyond-one-HBM image sets: hand the blender the HOST stack —
+            # band slices then upload straight to their own devices and no
+            # device ever materializes [N, H, W, 3] (LAZY_READ analog,
+            # reference README.md:133-136).  Chosen when the paired f32
+            # working stack would exceed the HBM budget, or when forced.
+            budget = float(_os.environ.get("OPENPANO_HBM_BUDGET_GB", "8"))
+            n_im, H_im, W_im = whs_np.shape[0], imgs.shape[1], imgs.shape[2]
+            paired_gb = n_im * H_im * W_im * 3 * 4 * 3 / 1e9
+            use_host = host_imgs is not None and (
+                paired_gb > budget
+                or _os.environ.get("OPENPANO_SHARDED_BLEND_HOST", "") == "1"
+            )
             canvas = blend_linear_sharded(
-                imgs, plan, ordered=cfg.ORDERED_INPUT, mesh=mesh
+                host_imgs if use_host else imgs, plan,
+                ordered=cfg.ORDERED_INPUT, mesh=mesh
             )
             if output == "u8":
                 u8, valid = _f32_to_u8(canvas)

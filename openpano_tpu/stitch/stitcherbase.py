@@ -71,33 +71,54 @@ def compute_features(imgs: jnp.ndarray, cfg: Config) -> Features:
     return feats
 
 
-def compute_features_sharded(imgs: jnp.ndarray, cfg: Config, mesh) -> "Features":
+@functools.partial(jax.jit)
+def _u8_to_f32_sharded(x):
+    """u8 -> f32 on device; output sharding follows the input's."""
+    return x.astype(jnp.float32) / 255.0
+
+
+def compute_features_sharded(imgs, cfg: Config, mesh):
     """Data-parallel feature extraction over a device mesh: the image batch
     axis shards over the mesh's first axis (the DP analog of the
     reference's OpenMP loop over images, stitcherbase.cc:14).  One jit —
     GSPMD partitions the vmapped SIFT with no collectives (features are
-    embarrassingly parallel over images)."""
+    embarrassingly parallel over images).
+
+    ``imgs`` may be a HOST numpy array (u8 or f32): then the upload itself
+    is batch-sharded — each device receives only its N/G image slice and
+    the full stack never sits in any single device's memory (the
+    LAZY_READ-scale entry point; u8 stays u8 on the wire).  Returns
+    (imgs_f32_sharded, Features)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     n, h, w = imgs.shape[0], imgs.shape[1], imgs.shape[2]
     wh_, ww_ = working_size(w, h, cfg.SIFT_WORKING_SIZE)
     nd = int(mesh.devices.size)
-    r = (-n) % nd
-    if r:  # pad the batch to a multiple of the mesh size
-        rep = jnp.broadcast_to(imgs[:1], (r,) + imgs.shape[1:])
-        imgs = jnp.concatenate([imgs, rep], axis=0)
-    whs = jnp.broadcast_to(jnp.asarray([w, h], jnp.float32),
-                           (imgs.shape[0], 2))
     axis = mesh.axis_names[0]
-    imgs = jax.device_put(imgs, NamedSharding(mesh, P(axis)))
-    whs = jax.device_put(whs, NamedSharding(mesh, P(axis)))
+    batch_sh = NamedSharding(mesh, P(axis))
+    r = (-n) % nd
+    if isinstance(imgs, np.ndarray):
+        if r:  # pad the batch to a multiple of the mesh size (host-side)
+            imgs = np.concatenate(
+                [imgs, np.broadcast_to(imgs[:1], (r,) + imgs.shape[1:])], 0)
+        imgs = jax.device_put(imgs, batch_sh)  # per-device shard uploads
+        if imgs.dtype == jnp.uint8:
+            imgs = _u8_to_f32_sharded(imgs)
+    else:
+        if r:
+            rep = jnp.broadcast_to(imgs[:1], (r,) + imgs.shape[1:])
+            imgs = jnp.concatenate([imgs, rep], axis=0)
+        imgs = jax.device_put(imgs.astype(jnp.float32), batch_sh)
+    whs = jax.device_put(
+        jnp.broadcast_to(jnp.asarray([w, h], jnp.float32),
+                         (imgs.shape[0], 2)), batch_sh)
     feats = _feature_chunk(imgs, whs, cfg, wh_, ww_)
     feats = jax.tree_util.tree_map(lambda x: x[:n], feats)
     counts = np.asarray(jnp.sum(feats.valid, axis=1))
     for i, c in enumerate(counts):
         if c == 0:  # stitcherbase.cc:20-21
             raise RuntimeError(f"Cannot find feature in image {i}!")
-    return feats
+    return imgs[:n], feats
 
 
 @jax.jit

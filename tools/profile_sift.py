@@ -1,0 +1,101 @@
+"""Per-substage profile of the SIFT feature stage on the current backend.
+
+Times, per 1300x867 image (the headline shape): resize-to-working-size,
+pyramid (blur+DoG+mag/ort), extrema, orientation, descriptor, and the full
+fused _feature_chunk, each as its own jitted dispatch (so the numbers
+include realistic dispatch overhead but not compile).  Used to target the
+round-3 Pallas work (VERDICT r2 item 1).
+"""
+
+import functools
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from openpano_tpu import Config
+from openpano_tpu.ops.imgproc import resize, working_size
+from openpano_tpu.sift.detector import detect_and_describe_batch, octave_caps
+from openpano_tpu.sift.extrema import detect_extrema
+from openpano_tpu.sift.pyramid import build_scale_space
+from openpano_tpu.synth import photo_scene, render_views
+
+
+def _sync(tree):
+    """block_until_ready is a NO-OP on the tunneled backend — only a
+    device->host fetch actually waits.  Fetch one scalar per leaf."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    # one executable produces all outputs; fetching any one of them waits
+    # for the whole dispatch, and each fetch is a 20-40 ms round trip
+    np.asarray(leaves[-1].reshape(-1)[0])
+
+
+def timeit(fn, *args, reps=5):
+    """The tunneled backend elides byte-identical repeated dispatches, so
+    each rep perturbs the first (float) argument by a tiny amount."""
+    out = fn(*args)
+    _sync(out)
+    best = 1e30
+    for rep in range(reps):
+        first = args[0]
+        perturbed = jax.tree_util.tree_map(
+            lambda a: (a + (rep + 1) * 1e-7).astype(a.dtype)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a, first)
+        _sync(perturbed)
+        t0 = time.time()
+        out = fn(perturbed, *args[1:])
+        _sync(out)
+        best = min(best, time.time() - t0)
+    return best, out
+
+
+def main():
+    cfg = Config(MAX_KP_PER_IMAGE=2048)
+    out_w, out_h = 1300, 867
+    views, _ = render_views(photo_scene(), 2, out_w=out_w, out_h=out_h,
+                            hfov_deg=40, overlap=0.8, jitter=0.05, seed=5)
+    img = jnp.asarray(views[:1])
+    wh_, ww_ = working_size(out_w, out_h, cfg.SIFT_WORKING_SIZE)
+    whs = jnp.asarray([[out_w, out_h]], jnp.float32)
+
+    res_fn = jax.jit(lambda im: jax.vmap(lambda x: resize(x, wh_, ww_))(im))
+    t_resize, work = timeit(res_fn, img)
+
+    pyr_fn = jax.jit(functools.partial(
+        lambda im, c: jax.vmap(lambda x: build_scale_space(x, c))(im), c=cfg))
+    t_pyr, octs = timeit(pyr_fn, work)
+
+    def extrema_all(octaves_batched):
+        outs = []
+        for oi, o in enumerate(octaves_batched):
+            caps = octave_caps(cfg, oi)
+            outs.append(jax.vmap(lambda oo: detect_extrema(
+                oo, cfg, cap_cand=caps[0], cap_kp=caps[1]))(o))
+        return outs
+
+    ext_fn = jax.jit(extrema_all)
+    t_ext, raws = timeit(ext_fn, octs)
+
+    full_fn = jax.jit(functools.partial(
+        lambda im, w, c: detect_and_describe_batch(
+            jax.vmap(lambda x: resize(x, wh_, ww_))(im), w, c), c=cfg))
+    t_full, feats = timeit(full_fn, img, whs)
+
+    n_kp = int(feats.valid.sum())
+    # orientation+descriptor+compaction = full - (resize+pyr+extrema),
+    # roughly (separate dispatches overlap differently than the fused one)
+    print(f"backend: {jax.devices()[0].platform}")
+    print(f"keypoints: {n_kp}")
+    print(f"resize       {t_resize*1e3:8.1f} ms")
+    print(f"pyramid      {t_pyr*1e3:8.1f} ms")
+    print(f"extrema      {t_ext*1e3:8.1f} ms")
+    print(f"FULL chunk   {t_full*1e3:8.1f} ms")
+    print(f"resid (ori+desc+compact) ~ {(t_full-t_resize-t_pyr-t_ext)*1e3:8.1f} ms")
+
+
+if __name__ == "__main__":
+    main()
