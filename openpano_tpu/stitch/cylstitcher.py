@@ -49,12 +49,25 @@ def _estimate_chain(matches: MatchResult, pos: jnp.ndarray, valid: jnp.ndarray,
     )
 
 
-def stitch_cylinder(imgs: np.ndarray, cfg: Config, key=None) -> np.ndarray:
+def stitch_cylinder(imgs: np.ndarray, cfg: Config, key=None,
+                    mesh=None) -> np.ndarray:
     """imgs: [n, H, W, 3] float32 in [0,1] (uniform shape).  Returns the
-    stitched RGB canvas (float32, INVALID=-1 where empty, pre-crop)."""
+    stitched RGB canvas (float32, INVALID=-1 where empty, pre-crop).
+
+    mesh: a jax.sharding.Mesh — runs the device stages sharded over its
+    first axis: features data-parallel over images (batch-sharded upload,
+    so no device holds the full stack), the cylindrical image warp
+    data-parallel over images, and the flat-projection blend over canvas
+    column bands (render.blend_linear_sharded / multiband sharded).  The
+    h-factor search and homography chaining are microscopic host math
+    either way (cylstitcher.cc:46-62)."""
     if key is None:
         key = jax.random.PRNGKey(0)
-    if isinstance(imgs, np.ndarray) and imgs.dtype == np.uint8:
+    if mesh is not None:
+        from .stitcherbase import compute_features_sharded
+
+        imgs, feats = compute_features_sharded(imgs, cfg, mesh)
+    elif isinstance(imgs, np.ndarray) and imgs.dtype == np.uint8:
         # pipelined path: delta-coded batch uploads overlap the SIFT compute
         imgs, feats = upload_and_compute_features(imgs, cfg)
     else:
@@ -119,9 +132,11 @@ def stitch_cylinder(imgs: np.ndarray, cfg: Config, key=None) -> np.ndarray:
     wW, wH = proj.out_w, proj.out_h
 
     # ---- warp all images + keypoints (cylstitcher.cc:64-67) ----
-    warped = jax.vmap(
+    # with a mesh the batch axis stays sharded (GSPMD partitions the
+    # pure-vmap warp with no collectives)
+    warped = jax.jit(jax.vmap(
         lambda im: warp_image(proj, im, wH, wW, W, H)
-    )(imgs)
+    ))(imgs)
     wkpos = warp_keypoints(proj, kpos, W, H)
     wwh = np.repeat([[wW, wH]], n, 0).astype(np.float32)
 
@@ -150,7 +165,19 @@ def stitch_cylinder(imgs: np.ndarray, cfg: Config, key=None) -> np.ndarray:
     plan = plan_render(
         np.stack(homos), wwh.astype(np.float64), mid, "flat", cfg.MAX_OUTPUT_SIZE
     )
-    canvas = blend(warped, plan, ordered=True, multiband=cfg.MULTIBAND)
+    if mesh is not None:
+        if cfg.MULTIBAND > 0:
+            from .multiband import blend_multiband_sharded
+
+            canvas = jnp.asarray(
+                blend_multiband_sharded(warped, plan, cfg.MULTIBAND, mesh))
+        else:
+            from .render import blend_linear_sharded
+
+            canvas = jnp.asarray(
+                blend_linear_sharded(warped, plan, ordered=True, mesh=mesh))
+    else:
+        canvas = blend(warped, plan, ordered=True, multiband=cfg.MULTIBAND)
 
     return fetch(
         perspective_correction(canvas, plan, np.stack(homos), wwh, mid)

@@ -186,6 +186,210 @@ def _accumulate_level(cur, nxt, valid, ranges, target, visited,
     return target, visited | has
 
 
+def blend_multiband_sharded(imgs, plan: RenderPlan, band_level: int,
+                            mesh) -> np.ndarray:
+    """Mesh-sharded multiband blend: one canvas column band per device
+    (SURVEY.md §5.7), the same geometry as render.blend_linear_sharded.
+
+    Render items are assigned to the band holding their RoI origin; an
+    item's RoI spills into at most the NEXT band (strip width >= RoI
+    width, enforced by _tile_jobs exact mode), so every cross-band term is
+    a single neighbor ppermute over the mesh axis:
+
+      1. winner-take-all seam: each band computes (max weight, winner
+         item) on its strip + spill halo, sends the halo right, and
+         combines lexicographically by (weight, -global item index) —
+         reproducing the single-device first-attainer tie-break exactly;
+      2. per band level: per-item blurs are item-local (bands never split
+         an item), and the level's (sum w*band, sum w) strip accumulators
+         exchange one additive halo before normalizing.
+
+    ``imgs`` may be a device array or HOST numpy (u8/f32): the host path
+    uploads each band's image subset straight to its device — the
+    beyond-HBM LAZY_READ analog, as in blend_linear_sharded.  Returns the
+    [out_h, out_w, 3] canvas (host numpy, INVALID where empty)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from .render import _device_put_banded, _tile_jobs
+
+    axis = mesh.axis_names[0]
+    nd = int(mesh.devices.size)
+    rh, rw = _roi_sizes(plan)
+    G, SW, Hp, Wp, TH, TW, band_jobs = _tile_jobs(
+        plan, groups=nd, exact=True, item_slabs=True)
+    assert G == nd and SW >= rw, (SW, rw)
+
+    # fixed per-band item capacity; item slot -> (band image slot, range,
+    # origin, GLOBAL item index for the tie-break)
+    IC = max(max(len(b[0]) for b in band_jobs), 1)
+    band_imgs = [np.unique(b[0]) if len(b[0]) else np.zeros(1, np.int64)
+                 for b in band_jobs]
+    NI = max(len(u) for u in band_imgs)
+    M = len(plan.items)
+    g_map = np.zeros((G, NI), np.int32)
+    g_idx = np.zeros((G, IC), np.int32)
+    g_rng = np.zeros((G, IC, 4), np.float32)
+    g_org = np.zeros((G, IC, 2), np.int32)
+    g_gid = np.full((G, IC), M, np.int32)      # global item id (M = dummy)
+    g_on = np.zeros((G, IC), np.float32)
+    for g, (bi, br, bo, sid) in enumerate(band_jobs):
+        u = band_imgs[g]
+        g_map[g, : len(u)] = u
+        g_idx[g, : len(bi)] = np.searchsorted(u, bi)
+        g_rng[g, : len(bi)] = br
+        # RoI grid origin == placement origin (org is the clamped int
+        # bbox corner; identical to the bbox for in-canvas items)
+        g_rng[g, : len(bi), :2] = bo
+        g_org[g, : len(bi)] = bo
+        g_on[g, : len(bi)] = 1.0
+        g_gid[g, : len(bi)] = sid
+
+    band_sh = NamedSharding(mesh, P(axis))
+    u8 = isinstance(imgs, np.ndarray) and imgs.dtype == np.uint8
+    if isinstance(imgs, np.ndarray):
+        imgs_b = _device_put_banded(np.ascontiguousarray(imgs[g_map]),
+                                    band_sh)
+    else:
+        imgs_b = jax.device_put(jnp.asarray(imgs)[jnp.asarray(g_map)],
+                                band_sh)
+    hinv_b = jax.device_put(plan.homo_invs[g_map], band_sh)
+    whs_b = jax.device_put(plan.whs[g_map].astype(np.float32), band_sh)
+
+    run = _mb_sharded_program(mesh, axis, nd, Hp, SW, rh, rw, IC,
+                              plan.proj, band_level, u8)
+    canvas = run(
+        imgs_b, jnp.asarray(g_idx), jnp.asarray(g_rng),
+        jnp.asarray(g_org), jnp.asarray(g_gid), jnp.asarray(g_on),
+        hinv_b, whs_b,
+        jnp.asarray(plan.proj_min, jnp.float32),
+        jnp.asarray(plan.resolution, jnp.float32),
+    )
+    return np.asarray(canvas)[: plan.out_h, : plan.out_w]
+
+
+@functools.lru_cache(maxsize=32)
+def _mb_sharded_program(mesh, axis: str, nd: int, Hp: int, SW: int,
+                        rh: int, rw: int, IC: int, proj: str,
+                        band_level: int, u8: bool):
+    """Jitted shard_map for one multiband band geometry (cached)."""
+    from jax.sharding import PartitionSpec as P
+
+    from .render import pair_imgs_x
+
+    BW = SW + rw                                  # strip + spill halo
+
+    def body(imgs, idx, rng, org, gid, on, hinv, whs, proj_min, resolution):
+        g = jax.lax.axis_index(axis)
+        dev = lambda z: jax.lax.pcast(z, (axis,), to="varying")
+        imgs_f = imgs[0]
+        if u8:
+            imgs_f = imgs_f.astype(jnp.float32) / 255.0
+        planes = _first_level(
+            pair_imgs_x(imgs_f), hinv[0], whs[0], idx[0], rng[0],
+            proj_min, resolution, proj, rh, rw,
+        )                                          # [IC, rh, rw, 4]
+        # dummy slots contribute nothing
+        planes = planes * on[0][:, None, None, None]
+        valid_f = (planes[..., 3] > 0).astype(jnp.float32)
+        org_l = org[0].at[:, 0].add(-g * SW)       # strip-local x origins
+
+        perm = [(i, i + 1) for i in range(nd - 1)]
+
+        # ---- winner-take-all with one (max, min-index) halo exchange ----
+        def upd_max(i, acc):
+            maxw, minid = acc
+            x0, y0 = org_l[i, 0], org_l[i, 1]
+            w = planes[i, :, :, 3]
+            mw = jax.lax.dynamic_slice(maxw, (y0, x0), (rh, rw))
+            mi = jax.lax.dynamic_slice(minid, (y0, x0), (rh, rw))
+            better = w > mw
+            tie = (w == mw) & (w > 0)
+            nid = jnp.where(better, gid[0][i],
+                            jnp.where(tie, jnp.minimum(mi, gid[0][i]), mi))
+            maxw = jax.lax.dynamic_update_slice(
+                maxw, jnp.maximum(mw, w), (y0, x0))
+            minid = jax.lax.dynamic_update_slice(minid, nid, (y0, x0))
+            return maxw, minid
+
+        big = jnp.int32(1 << 30)
+        maxw = dev(jnp.zeros((Hp, BW), jnp.float32))
+        minid = dev(jnp.full((Hp, BW), big, jnp.int32))
+        maxw, minid = jax.lax.fori_loop(0, IC, upd_max, (maxw, minid))
+        # neighbor combine: strip g's spill columns belong to strip g+1
+        hw = jax.lax.ppermute(maxw[:, SW:], axis, perm)
+        hi = jax.lax.ppermute(minid[:, SW:], axis, perm)
+        head_w, head_i = maxw[:, :rw], minid[:, :rw]
+        cb = hw > head_w
+        ct = hw == head_w
+        comb_w = jnp.maximum(head_w, hw)
+        comb_i = jnp.where(cb, hi,
+                           jnp.where(ct, jnp.minimum(head_i, hi), head_i))
+        maxw = maxw.at[:, :rw].set(comb_w)
+        minid = minid.at[:, :rw].set(comb_i)
+
+        def read_back(i, pl):
+            x0, y0 = org_l[i, 0], org_l[i, 1]
+            mi = jax.lax.dynamic_slice(minid, (y0, x0), (rh, rw))
+            won = (mi == gid[0][i]) & (pl[i, :, :, 3] > 0)
+            return pl.at[i, :, :, 3].set(won.astype(jnp.float32))
+
+        planes = jax.lax.fori_loop(0, IC, read_back, planes)
+
+        # ---- band levels with one additive halo exchange per level ----
+        target = dev(jnp.zeros((Hp, SW, 3), jnp.float32))
+        visited = dev(jnp.zeros((Hp, SW), bool))
+        cur = planes
+        for level in range(band_level):
+            is_last = level == band_level - 1
+            if not is_last:
+                sigma = float(np.sqrt(level * 2 + 1.0) * 4)
+                nxt = jnp.moveaxis(blur(jnp.moveaxis(cur, -1, 1), sigma),
+                                   1, -1)
+            else:
+                nxt = cur
+
+            def acc_body(i, acc):
+                isum, wsum = acc
+                x0, y0 = org_l[i, 0], org_l[i, 1]
+                w = cur[i, :, :, 3] * valid_f[i]
+                band = (cur[i, :, :, :3] if is_last
+                        else cur[i, :, :, :3] - nxt[i, :, :, :3])
+                z0 = jnp.zeros((), y0.dtype)
+                ir = jax.lax.dynamic_slice(isum, (y0, x0, z0), (rh, rw, 3))
+                wr = jax.lax.dynamic_slice(wsum, (y0, x0), (rh, rw))
+                isum = jax.lax.dynamic_update_slice(
+                    isum, ir + band * w[..., None], (y0, x0, z0))
+                wsum = jax.lax.dynamic_update_slice(wsum, wr + w, (y0, x0))
+                return isum, wsum
+
+            isum = dev(jnp.zeros((Hp, BW, 3), jnp.float32))
+            wsum = dev(jnp.zeros((Hp, BW), jnp.float32))
+            isum, wsum = jax.lax.fori_loop(0, IC, acc_body, (isum, wsum))
+            hic = jax.lax.ppermute(isum[:, SW:], axis, perm)
+            hwc = jax.lax.ppermute(wsum[:, SW:], axis, perm)
+            isum = isum.at[:, :rw].add(hic)[:, :SW]
+            wsum = wsum.at[:, :rw].add(hwc)[:, :SW]
+            has = wsum >= EPS
+            contrib = jnp.where(
+                has[..., None], isum / jnp.maximum(wsum, EPS)[..., None], 0.0)
+            target = jnp.where(
+                (has & ~visited)[..., None], contrib,
+                jnp.where(has[..., None], target + contrib, target),
+            )
+            visited = visited | has
+            cur = nxt
+
+        out = jnp.clip(target, 0.0, 1.0)
+        return jnp.where(visited[..., None], out, INVALID)
+
+    sharded = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis),) * 8 + (P(), P()),
+        out_specs=P(None, axis),
+    )
+    return jax.jit(sharded)
+
+
 def blend_multiband(imgs: jnp.ndarray, plan: RenderPlan, band_level: int) -> jnp.ndarray:
     """Full multiband run (multiband.cc:59-123).  imgs: [N,Hp,Wp,3] padded
     with INVALID; returns [out_h,out_w,3] canvas with INVALID where empty."""

@@ -228,7 +228,9 @@ def _tile_jobs(plan: RenderPlan, groups: int, TH: int = _TILE_H,
     would be silently lost).
 
     Returns (G, SW, Hp, Wp, TH, TW, band_jobs) where band_jobs[g] is
-    (idx [J], rng [J,4] f32 true bboxes, org [J,2] i32 job origins)."""
+    (idx [J] image indices, rng [J,4] f32 true bboxes, org [J,2] i32 job
+    origins, sid [J] i32 global ITEM indices — one job per item in
+    item_slabs mode, so sid disambiguates jobs for cross-band tie-breaks)."""
     it = plan.items
     r = it[:, 1:5]
     if item_slabs:
@@ -252,6 +254,7 @@ def _tile_jobs(plan: RenderPlan, groups: int, TH: int = _TILE_H,
     jobs_i: list[list[int]] = [[] for _ in range(G)]
     jobs_r: list[list[np.ndarray]] = [[] for _ in range(G)]
     jobs_o: list[list[tuple[int, int]]] = [[] for _ in range(G)]
+    jobs_s: list[list[int]] = [[] for _ in range(G)]
     for s in range(len(it)):
         x0, y0, x1, y1 = r[s]
         if item_slabs:
@@ -261,6 +264,7 @@ def _tile_jobs(plan: RenderPlan, groups: int, TH: int = _TILE_H,
             jobs_i[g].append(it[s, 0])
             jobs_r[g].append(r[s])
             jobs_o[g].append((ox, oy))
+            jobs_s[g].append(s)
             continue
         hull = plan.hulls[s] if plan.hulls else None
         ys = range(max(int(y0), 0), max(int(min(y1, plan.out_h)), 0), TH)
@@ -277,6 +281,7 @@ def _tile_jobs(plan: RenderPlan, groups: int, TH: int = _TILE_H,
                 jobs_i[g].append(it[s, 0])
                 jobs_r[g].append(r[s])
                 jobs_o[g].append((ox, oy))
+                jobs_s[g].append(s)
 
     band_jobs = []
     for g in range(G):
@@ -285,12 +290,14 @@ def _tile_jobs(plan: RenderPlan, groups: int, TH: int = _TILE_H,
                 np.asarray(jobs_i[g], np.int32),
                 np.asarray(jobs_r[g], np.float32),
                 np.asarray(jobs_o[g], np.int32),
+                np.asarray(jobs_s[g], np.int32),
             ))
         else:
             band_jobs.append((
                 np.zeros(0, np.int32),
                 np.zeros((0, 4), np.float32),
                 np.zeros((0, 2), np.int32),
+                np.zeros(0, np.int32),
             ))
     return G, SW, Hp, Wp, TH, TW, band_jobs
 
@@ -586,7 +593,7 @@ def blend_linear_stream_u8(imgs: jnp.ndarray, plan: RenderPlan,
     g_idx = np.zeros((G, IC), np.int32)
     g_rng = np.zeros((G, IC, 4), np.float32)
     g_org = np.zeros((G, IC, 2), np.int32)
-    for g, (bi, br, bo) in enumerate(band_jobs):
+    for g, (bi, br, bo, _sid) in enumerate(band_jobs):
         g_idx[g, : len(bi)] = bi
         g_rng[g, : len(bi)] = br
         g_org[g, : len(bi)] = bo
@@ -664,7 +671,7 @@ def blend_linear_sharded(imgs: jnp.ndarray, plan: RenderPlan, ordered: bool,
     g_idx = np.zeros((G, IC), np.int32)       # job -> band slot
     g_rng = np.zeros((G, IC, 4), np.float32)
     g_org = np.zeros((G, IC, 2), np.int32)
-    for g, (bi, br, bo) in enumerate(band_jobs):
+    for g, (bi, br, bo, _sid) in enumerate(band_jobs):
         u = band_imgs[g]
         g_map[g, : len(u)] = u
         g_idx[g, : len(bi)] = np.searchsorted(u, bi)

@@ -426,7 +426,7 @@ def _stitch_core(imgs, feats, whs_np: np.ndarray, cfg: Config, key,
         if info_out is not None:
             info_out["homos"] = homos
             info_out["plan"] = plan
-        if mesh is not None and cfg.MULTIBAND == 0:
+        if mesh is not None:
             import os as _os
 
             from .render import blend_linear_sharded
@@ -443,10 +443,17 @@ def _stitch_core(imgs, feats, whs_np: np.ndarray, cfg: Config, key,
                 paired_gb > budget
                 or _os.environ.get("OPENPANO_SHARDED_BLEND_HOST", "") == "1"
             )
-            canvas = blend_linear_sharded(
-                host_imgs if use_host else imgs, plan,
-                ordered=cfg.ORDERED_INPUT, mesh=mesh
-            )
+            blend_in = host_imgs if use_host else imgs
+            if cfg.MULTIBAND > 0:
+                from .multiband import blend_multiband_sharded
+
+                canvas = blend_multiband_sharded(
+                    blend_in, plan, cfg.MULTIBAND, mesh
+                )
+            else:
+                canvas = blend_linear_sharded(
+                    blend_in, plan, ordered=cfg.ORDERED_INPUT, mesh=mesh
+                )
             if output == "u8":
                 u8, valid = _f32_to_u8(canvas)
                 result = (np.asarray(u8), np.asarray(valid))

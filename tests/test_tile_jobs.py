@@ -70,7 +70,7 @@ class TestTileJobs:
         items = np.array([[0, 0, 0, 1000, 400], [0, 500, 100, 900, 300]])
         hulls = [_rect_hull(0, 0, 1000, 400), _rect_hull(500, 100, 900, 300)]
         G, SW, Hp, Wp, _TH, _TW, band_jobs = _tile_jobs(_plan(items, hulls), groups=4)
-        for g, (bi, br, bo) in enumerate(band_jobs):
+        for g, (bi, br, bo, _sid) in enumerate(band_jobs):
             if len(bi):
                 assert (bo[:, 0] >= g * SW).all()
 
