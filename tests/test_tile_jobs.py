@@ -60,7 +60,7 @@ class TestTileJobs:
         covered = np.zeros((400, 1000), bool)
         from openpano_tpu.stitch.render import _TILE_H, _TILE_W
 
-        for bi, br, bo in band_jobs:
+        for bi, br, bo, _sid in band_jobs:
             for r, o in zip(br, bo):
                 covered[o[1] : o[1] + _TILE_H, o[0] : o[0] + _TILE_W] = True
         assert covered[19:333, 37:801].all()

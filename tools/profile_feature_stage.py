@@ -35,10 +35,10 @@ def main():
         np.asarray(im[0, 0, 0, 0])
 
     for trial in range(3):
-        t0 = time.time()
+        t0 = time.perf_counter()
         outs = [_feature_chunk(im, whs, cfg, wh_, ww_) for im in imgs]
         np.asarray(outs[-1].valid[0, 0])  # fetch waits for the whole queue
-        dt = time.time() - t0
+        dt = time.perf_counter() - t0
         print(f"trial {trial}: {dt*1000:.1f} ms total, "
               f"{dt/n*1000:.2f} ms/img  ({n/dt:.1f} img/s)")
 
@@ -49,10 +49,10 @@ def main():
         out = _feature_chunk(big, whsB, cfg, wh_, ww_)
         np.asarray(out.valid[0, 0])
         reps = max(1, n // B)
-        t0 = time.time()
+        t0 = time.perf_counter()
         outs = [_feature_chunk(big, whsB, cfg, wh_, ww_) for _ in range(reps)]
         np.asarray(outs[-1].valid[0, 0])
-        dt = time.time() - t0
+        dt = time.perf_counter() - t0
         print(f"batch={B}: {dt/(reps*B)*1000:.2f} ms/img")
 
 

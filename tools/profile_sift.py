@@ -46,10 +46,10 @@ def timeit(fn, *args, reps=5):
             lambda a: (a + (rep + 1) * 1e-7).astype(a.dtype)
             if jnp.issubdtype(a.dtype, jnp.floating) else a, first)
         _sync(perturbed)
-        t0 = time.time()
+        t0 = time.perf_counter()
         out = fn(perturbed, *args[1:])
         _sync(out)
-        best = min(best, time.time() - t0)
+        best = min(best, time.perf_counter() - t0)
     return best, out
 
 

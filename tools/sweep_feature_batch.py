@@ -20,10 +20,10 @@ views, _ = render_views(photo_scene(), 38, out_w=1300, out_h=867,
 u8 = np.round(views * 255).astype(np.uint8)
 best = 1e9
 for trial in range(3):
-    t0 = time.time()
+    t0 = time.perf_counter()
     imgs, feats = upload_and_compute_features(u8, cfg)
     np.asarray(feats.valid[:, 0])
-    dt = time.time() - t0
+    dt = time.perf_counter() - t0
     best = min(best, dt)
     print(f"  trial {trial}: {dt:.3f} s", flush=True)
 print(f"BEST {best:.3f}")
@@ -32,4 +32,8 @@ print(f"BEST {best:.3f}")
 for b in (sys.argv[1:] or ["1", "2", "4", "8", "19", "38"]):
     env = dict(os.environ, OPENPANO_FEATURE_BATCH=str(b))
     print(f"batch={b}:", flush=True)
-    subprocess.run([sys.executable, "-c", CHILD], env=env, cwd=".")
+    rc = subprocess.run([sys.executable, "-c", CHILD], env=env, cwd=".",
+                        check=False).returncode
+    if rc != 0:
+        print(f"  WARNING: batch={b} child exited rc={rc} (crash/OOM?) - "
+              f"no BEST line for this size", flush=True)
