@@ -498,7 +498,7 @@ def _pairs_normal_equations(params, resid_w, prob: BAPairProblem, n_cam,
     jax.jit,
     static_argnames=(
         "n_cam", "lm_lambda", "device_solver", "return_iters", "adaptive",
-        "max_iter", "ne_f32",
+        "max_iter", "ne_f32", "patience", "rel_tol",
     ),
 )
 def ba_optimize_pairs(params: jnp.ndarray, prob: BAPairProblem,
@@ -508,12 +508,17 @@ def ba_optimize_pairs(params: jnp.ndarray, prob: BAPairProblem,
                       return_iters: bool = False,
                       adaptive: bool = False,
                       max_iter: int = LM_MAX_ITER,
-                      ne_f32: bool = False) -> jnp.ndarray:
+                      ne_f32: bool = False,
+                      patience: int = NR_NON_DECREASE,
+                      rel_tol: float = 0.0) -> jnp.ndarray:
     """LM loop (optimize(), .cc:117-168) over a pair-major problem.  Same
     semantics as :func:`ba_optimize`: fixed split damping, identity-camera
-    rotation freeze, >1e-3 RMS improvement acceptance, stop after 5
-    consecutive non-improvements, residuals for J^T r taken from the most
-    recently *evaluated* state (reference quirk).
+    rotation freeze, >1e-3 RMS improvement acceptance, stop after
+    ``patience`` consecutive non-improvements (the reference's 5,
+    .cc:159; intermediate incremental passes pass a smaller value — their
+    only job is keeping the next initialization healthy, so waiting out 5
+    rejected steps per pass buys nothing), residuals for J^T r taken from
+    the most recently *evaluated* state (reference quirk).
 
     ``adaptive=True`` (Config.BA_ADAPTIVE_LM) replaces the reference's
     FIXED damping with classic Marquardt scheduling — accepted step
@@ -542,7 +547,7 @@ def ba_optimize_pairs(params: jnp.ndarray, prob: BAPairProblem,
 
     def cond(carry):
         _, _, _, nr_nd, itr, _ = carry
-        return (itr < max_iter) & (nr_nd <= NR_NON_DECREASE)
+        return (itr < max_iter) & (nr_nd <= patience)
 
     def body(carry):
         best_flat, resid, best_err, nr_nd, itr, lam = carry
@@ -554,7 +559,13 @@ def ba_optimize_pairs(params: jnp.ndarray, prob: BAPairProblem,
         new_flat = best_flat - delta * upd_mask
         new_r, wm = _pairs_residuals(new_flat.reshape(n_cam, 6), prob)
         new_err = rms(new_r, wm)
-        improved = new_err < best_err - 1e-3
+        # acceptance: the reference's absolute 1e-3 px rule (.cc:152),
+        # optionally tightened to a RELATIVE plateau for intermediate
+        # passes (rel_tol > 0): a pass whose only job is keeping the next
+        # initialization healthy stops once steps stop moving the error
+        # by a meaningful fraction
+        thresh = jnp.maximum(1e-3, rel_tol * best_err)
+        improved = new_err < best_err - thresh
         best_flat = jnp.where(improved, new_flat, best_flat)
         best_err = jnp.where(improved, new_err, best_err)
         nr_nd = jnp.where(improved, 0, nr_nd + 1)

@@ -113,9 +113,28 @@ class Config:
     # keeping the next camera initialization healthy); a final run always
     # polishes at the full LM_MAX_ITER=100 depth.  The reference runs every
     # pass to 100 (incremental_bundle_adjuster.cc:24) — set 100 to match.
-    # Measured on the 38-image headline: 8 -> 2.2 px mean reprojection
-    # error vs ground truth, 15 -> 1.7 px, 100 -> 1.7 px at 2x the time.
-    BA_INTERMEDIATE_ITERS: int = 15
+    # Measured on the 38-image headline (r4 sweep, patience 1): 8 -> 2.2 px
+    # mean reprojection vs ground truth, 15 -> 1.69, 20 -> 1.61 at the SAME
+    # total iteration count as (15, patience 5) — deeper intermediates with
+    # an earlier plateau stop beat shallow ones that wait out 5 rejections.
+    BA_INTERMEDIATE_ITERS: int = 20
+    # Plateau patience (consecutive non-improving LM steps before stopping)
+    # for the INTERMEDIATE passes only; the final polish uses the
+    # reference's 5 (incremental_bundle_adjuster.cc:159).  Intermediate
+    # passes exist to keep initializations healthy, not to converge —
+    # waiting out 5 rejected steps x ~37 passes is pure latency.
+    BA_INTERMEDIATE_PATIENCE: int = 1
+    # Relative acceptance tolerance for INTERMEDIATE passes: a step must
+    # improve RMS by max(1e-3 px, rel_tol * current) to count.  0 keeps
+    # the reference's absolute 1e-3 px rule for every pass.  MEASURED to
+    # trade accuracy for little time on the headline (0.003 -> 2.18 px
+    # from 1.69); kept as an opt-in latency knob, default off.
+    BA_INTERMEDIATE_REL_TOL: float = 0.0
+    # Final-polish LM budget (the full-depth run after the incremental
+    # schedule).  Defaults match the reference (100 iters, patience 5,
+    # incremental_bundle_adjuster.cc:24,159).
+    BA_FINAL_MAX_ITER: int = 100
+    BA_FINAL_PATIENCE: int = 5
     # At MULTIPASS_BA=1, run the intermediate BA once per this many ADDED
     # images instead of after every single one (the reference's cadence,
     # camera_estimator.cc:74-91, equals 1).  MEASURED to hurt

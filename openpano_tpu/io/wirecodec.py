@@ -1,0 +1,230 @@
+"""4-bit nibble-delta wire codec: host C encoder + pure-XLA device decoder.
+
+The tunneled TPU transport moves host->device bytes at a flat ~55 MB/s
+(measured r4: element dtype, chunking, and threading change nothing), so
+the 128 MB headline image stack costs ~2.1 s to upload raw — more than the
+whole SIFT stage.  This codec halves the bytes losslessly:
+
+  - per-channel-planar rows, left-neighbor delta mod 256;
+  - deltas in [-8, 7] (96%+ of photo content) pack two per byte, pairing
+    row r with row r + ceil(R/2) so the device-side unpack is a plain
+    concatenate (a [*, 2] nibble interleave tile-pads 64x on TPU);
+  - out-of-range deltas ride a sparse exception stream, gap-coded to
+    u16 (+u8 value) with 0xFFFF escape entries for gaps >= 65535.
+
+Decode is one jit: unpack nibbles -> scatter exceptions -> cumsum mod 256.
+Measured on the 38-image headline stack: 64 MB packed + 14 MB exceptions
+upload+decode in ~1.3 s vs 2.1 s raw; the grey plane (SIFT input) is
+21 MB + ~2 MB and lands in ~0.5 s.
+
+Reference analog: none (the reference reads images from local disk,
+lib/imgio.cc:25-57); this is the TPU runtime's answer to feeding pixels to
+the compute engine at full speed.
+"""
+
+from __future__ import annotations
+
+import functools
+import threading
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import native
+
+_ESC = 0xFFFF  # gap escape: advance 65535, write nothing
+
+
+@dataclass(frozen=True)
+class WireStream:
+    """Host-side encoded plane set ([rows, cols] u8)."""
+
+    packed: np.ndarray  # [ceil(rows/2), cols] u8
+    gaps: np.ndarray  # [K] u16 (0xFFFF = escape)
+    vals: np.ndarray  # [K] u8 (delta byte; 0 for escapes)
+    rows: int
+    cols: int
+
+    @property
+    def nbytes(self) -> int:
+        return self.packed.nbytes + self.gaps.nbytes + self.vals.nbytes
+
+
+def _gap_code(idx: np.ndarray, val: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Sorted absolute indices -> u16 gap stream with 0xFFFF escapes."""
+    if idx.size == 0:
+        return np.zeros(0, np.uint16), np.zeros(0, np.uint8)
+    D = np.diff(idx, prepend=np.int64(-1))  # >= 1
+    m = (D - 1) // 65535  # escapes before each real entry
+    g = (D - 1) - m * 65535  # residual gap, <= 65534
+    total = int(idx.size + m.sum())
+    gaps = np.full(total, _ESC, np.uint16)
+    vals = np.zeros(total, np.uint8)
+    pos = np.cumsum(m + 1) - 1
+    gaps[pos] = g.astype(np.uint16)
+    vals[pos] = val
+    return gaps, vals
+
+
+def encode_plane(plane: np.ndarray) -> WireStream | None:
+    """Encode a [rows, cols] u8 plane.  None when the content is too noisy
+    for the 4-bit budget (caller should upload raw)."""
+    rows, cols = plane.shape
+    out = native.wire_pack4(plane)
+    if out is None:
+        return None
+    packed, idx, val = out
+    gaps, vals = _gap_code(idx, val)
+    return WireStream(packed=packed, gaps=gaps, vals=vals, rows=rows, cols=cols)
+
+
+def _bucket(n: int) -> int:
+    """Round K up to limit distinct decode signatures."""
+    b = 1024
+    while b < n:
+        b *= 2
+    return b
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "cols"))
+def _decode4(packed, gaps, vals, rows: int, cols: int):
+    lo = packed & 0xF
+    hi = packed >> 4
+    delta = jnp.concatenate([lo, hi], axis=0)[:rows].astype(jnp.int32) - 8
+    is_esc = gaps == _ESC
+    step = jnp.where(is_esc, 65535, gaps.astype(jnp.int32) + 1)
+    pos = jnp.cumsum(step) - 1
+    write_idx = jnp.where(is_esc, jnp.int32(2**31 - 1), pos)
+    sval = ((vals.astype(jnp.int32) + 128) % 256) - 128
+    flat = delta.reshape(-1).at[write_idx].set(sval, mode="drop")
+    out = jnp.cumsum(flat.reshape(rows, cols), axis=1, dtype=jnp.int32) & 0xFF
+    return out.astype(jnp.uint8)
+
+
+def _pad_exceptions(stream: WireStream) -> tuple[np.ndarray, np.ndarray]:
+    k = _bucket(max(1, stream.gaps.size))
+    gaps = np.full(k, _ESC, np.uint16)
+    vals = np.zeros(k, np.uint8)
+    gaps[: stream.gaps.size] = stream.gaps
+    vals[: stream.vals.size] = stream.vals
+    return gaps, vals
+
+
+def upload_plane(stream: WireStream):
+    """One-shot upload + decode of an encoded plane set -> device u8
+    [rows, cols]."""
+    gaps, vals = _pad_exceptions(stream)
+    dp = jax.device_put(stream.packed)
+    dg = jax.device_put(gaps)
+    dv = jax.device_put(vals)
+    return _decode4(dp, dg, dv, rows=stream.rows, cols=stream.cols)
+
+
+def upload_u8_rows(plane: np.ndarray):
+    """Upload a [rows, cols] u8 plane via the wire codec, falling back to a
+    raw device_put when the content defeats the 4-bit budget."""
+    stream = encode_plane(plane)
+    if stream is None:
+        return jax.device_put(plane)
+    return upload_plane(stream)
+
+
+def pack2_rows(plane: np.ndarray) -> np.ndarray:
+    """Pack a [rows, cols] plane of 2-bit values ({0,1,2,3}) four-per-byte,
+    quarter-row pairing (row r with r+Q, r+2Q, r+3Q; Q = ceil(rows/4)) so
+    the device unpack is a plain concatenate.  Pads missing rows with 1
+    (the bias value for residual 0)."""
+    rows, cols = plane.shape
+    q = (rows + 3) // 4
+    if q * 4 != rows:
+        pad = np.ones((q * 4 - rows, cols), np.uint8)
+        plane = np.concatenate([plane, pad], axis=0)
+    return (
+        plane[:q]
+        | (plane[q : 2 * q] << 2)
+        | (plane[2 * q : 3 * q] << 4)
+        | (plane[3 * q :] << 6)
+    ).astype(np.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("rows",))
+def _unpack2(packed, rows: int):
+    parts = [(packed >> s) & 3 for s in (0, 2, 4, 6)]
+    return jnp.concatenate(parts, axis=0)[:rows]
+
+
+def upload_2bit_rows(plane: np.ndarray):
+    """Upload a [rows, cols] plane of 2-bit values at 0.25 bytes/element.
+    Returns device u8 [rows, cols]."""
+    rows = plane.shape[0]
+    return _unpack2(jax.device_put(pack2_rows(plane)), rows=rows)
+
+
+class BackgroundUpload:
+    """Run an upload (encode + chunked device_put + decode) in a daemon
+    thread so the wire transfer of a late-stage input (the full-res RGB
+    stack, needed only by the blender) overlaps the match/BA compute of
+    earlier stages.  The thread issues device_puts in ~4 MB chunks so the
+    main thread's small dispatch/fetch traffic interleaves between chunks
+    instead of stalling behind one monolithic transfer.
+
+    TPU-native analog of the reference's LAZY_READ IO/compute overlap
+    (stitcherbase.cc:14-19 + imageref.hh:22)."""
+
+    CHUNK_BYTES = 4 << 20
+
+    def __init__(self, plane):
+        """``plane``: a [rows, cols] u8 array, or a zero-arg callable
+        returning one (host-side prep then runs inside the thread too)."""
+        self._plane = plane
+        self._result = None
+        self._error: BaseException | None = None
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        try:
+            plane = self._plane() if callable(self._plane) else self._plane
+            stream = encode_plane(plane)
+            if stream is None:
+                parts = self._chunked_put(plane)
+                self._result = ("raw", parts, plane.shape)
+                return
+            parts = self._chunked_put(stream.packed)
+            gaps, vals = _pad_exceptions(stream)
+            dg = jax.device_put(gaps)
+            dv = jax.device_put(vals)
+            self._result = ("packed", parts, dg, dv, stream.rows, stream.cols)
+        except BaseException as e:  # surfaced from result()
+            self._error = e
+        finally:
+            self._plane = None
+
+    def _chunked_put(self, arr: np.ndarray):
+        rows_per = max(1, self.CHUNK_BYTES // max(1, arr.shape[1]))
+        parts = []
+        for lo in range(0, arr.shape[0], rows_per):
+            part = jax.device_put(arr[lo : lo + rows_per])
+            parts.append(part)
+            # THROTTLE: wait for this chunk to land before submitting the
+            # next (a 1-element fetch is a true wire roundtrip;
+            # block_until_ready returns early on the tunneled transport).
+            # Without this the thread enqueues the whole stream instantly
+            # and every foreground fetch waits behind ALL of it — measured
+            # +1.2 s on the headline match stage.
+            np.asarray(part[:1, :1])
+        return parts
+
+    def result(self):
+        """Join and return the decoded device u8 [rows, cols] array."""
+        self._thread.join()
+        if self._error is not None:
+            raise self._error
+        r = self._result
+        if r[0] == "raw":
+            return jnp.concatenate(r[1], axis=0).reshape(r[2])
+        _, parts, dg, dv, rows, cols = r
+        packed = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+        return _decode4(packed, dg, dv, rows=rows, cols=cols)

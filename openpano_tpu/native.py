@@ -16,7 +16,7 @@ import numpy as np
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libopenpano_native.so")
-_SOURCES = ["crop_largest_rect.c", "delta_code.c", "png_codec.c"]
+_SOURCES = ["crop_largest_rect.c", "delta_code.c", "png_codec.c", "wire_codec.c"]
 _LIBS = ["-lz", "-lpthread"]
 
 _lock = threading.Lock()
@@ -83,6 +83,32 @@ def get_lib():
                 lib.png_encode_rgb8.restype = ctypes.c_void_p
                 lib.pano_free.argtypes = [ctypes.c_void_p]
                 lib.pano_free.restype = None
+                lib.wire_pack4.argtypes = [
+                    ctypes.POINTER(ctypes.c_uint8),
+                    ctypes.POINTER(ctypes.c_uint8),
+                    ctypes.c_int64,
+                    ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_int64),
+                    ctypes.POINTER(ctypes.c_uint8),
+                    ctypes.c_int64,
+                    ctypes.c_int,
+                ]
+                lib.wire_pack4.restype = ctypes.c_int64
+                lib.wire_grey_u8.argtypes = [
+                    ctypes.POINTER(ctypes.c_uint8),
+                    ctypes.POINTER(ctypes.c_uint8),
+                    ctypes.c_int64,
+                    ctypes.c_int,
+                ]
+                lib.wire_grey_u8.restype = None
+                lib.wire_grey_res_u8.argtypes = [
+                    ctypes.POINTER(ctypes.c_uint8),
+                    ctypes.POINTER(ctypes.c_uint8),
+                    ctypes.POINTER(ctypes.c_uint8),
+                    ctypes.c_int64,
+                    ctypes.c_int,
+                ]
+                lib.wire_grey_res_u8.restype = None
                 _lib = lib
             else:
                 _load_failed = True
@@ -217,3 +243,96 @@ def _largest_valid_rect_py(valid: np.ndarray) -> tuple[int, int, int, int]:
             maxarea = int(area[k])
             best = (line - int(height[k]) + 1, int(left[k]), int(height[k]), int(right[k] - left[k] + 1))
     return best
+
+
+def wire_pack4(plane: np.ndarray, exc_frac: float = 0.12):
+    """4-bit nibble-delta pack of a [rows, cols] u8 plane (wire_codec.c).
+
+    Returns (packed [ceil(rows/2), cols] u8, exc_idx int64 [K] sorted,
+    exc_val u8 [K]) or None when exceptions exceed ``exc_frac`` of elements
+    (caller should upload raw) or the native library is unavailable."""
+    plane = np.ascontiguousarray(plane, dtype=np.uint8)
+    rows, cols = plane.shape
+    lib = get_lib()
+    if lib is None:
+        return _wire_pack4_py(plane)
+    half = (rows + 1) // 2
+    packed = np.empty((half, cols), np.uint8)
+    cap = max(1024, int(plane.size * exc_frac))
+    idx = np.empty(cap, np.int64)
+    val = np.empty(cap, np.uint8)
+    n = lib.wire_pack4(
+        plane.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        rows, cols,
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        val.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        cap, _nthreads(),
+    )
+    if n < 0:
+        return None
+    idx, val = idx[:n], val[:n]
+    order = np.argsort(idx, kind="stable")
+    return packed, idx[order], val[order]
+
+
+def _wire_pack4_py(plane: np.ndarray):
+    """Numpy fallback for wire_pack4 (same format, slower)."""
+    rows, cols = plane.shape
+    x = plane.astype(np.int16)
+    d = x.copy()
+    d[:, 1:] = x[:, 1:] - x[:, :-1]
+    d8 = (d & 0xFF).astype(np.uint8)
+    s = ((d8.astype(np.int16) + 8) & 0xFF)
+    ok = s < 16
+    nib = np.where(ok, s, 8).astype(np.uint8)
+    half = (rows + 1) // 2
+    if rows % 2:
+        nib = np.concatenate([nib, np.full((1, cols), 8, np.uint8)], axis=0)
+    packed = (nib[:half] | (nib[half:] << 4)).astype(np.uint8)
+    idx = np.flatnonzero(~ok.reshape(-1)).astype(np.int64)
+    val = d8.reshape(-1)[idx]
+    return packed, idx, val
+
+
+def wire_grey_u8(rgb: np.ndarray) -> np.ndarray:
+    """Rounded channel-mean grey of a u8 RGB array [..., 3] -> [...] u8
+    (reference semantics: lib/imgproc.cc:237-249)."""
+    rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
+    shape = rgb.shape[:-1]
+    n = int(np.prod(shape))
+    lib = get_lib()
+    if lib is not None:
+        grey = np.empty(n, np.uint8)
+        lib.wire_grey_u8(
+            rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            grey.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            n, _nthreads(),
+        )
+        return grey.reshape(shape)
+    s = rgb.reshape(-1, 3).astype(np.uint32).sum(axis=1)
+    return ((2 * s + 3) // 6).astype(np.uint8).reshape(shape)
+
+
+def wire_grey_res_u8(rgb: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Grey (rounded channel mean) PLUS the channel-sum residual biased to
+    {0,1,2}: r+g+b == 3*grey + res - 1 exactly.  Lets the device rebuild
+    the exact integer channel sum from one u8 plane + one 2-bit plane."""
+    rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
+    shape = rgb.shape[:-1]
+    n = int(np.prod(shape))
+    lib = get_lib()
+    if lib is not None:
+        grey = np.empty(n, np.uint8)
+        res = np.empty(n, np.uint8)
+        lib.wire_grey_res_u8(
+            rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            grey.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            res.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            n, _nthreads(),
+        )
+        return grey.reshape(shape), res.reshape(shape)
+    s = rgb.reshape(-1, 3).astype(np.int32).sum(axis=1)
+    grey = ((2 * s + 3) // 6).astype(np.int32)
+    res = (s - 3 * grey + 1).astype(np.uint8)
+    return grey.astype(np.uint8).reshape(shape), res.reshape(shape)

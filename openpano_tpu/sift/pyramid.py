@@ -86,13 +86,20 @@ def build_octave(grey: jnp.ndarray, cfg: Config) -> Octave:
     return Octave(gauss=gauss, mag=jnp.stack(mags), ort=jnp.stack(orts), dog=dog)
 
 
-def build_scale_space(img_rgb: jnp.ndarray, cfg: Config) -> list[Octave]:
-    """img_rgb: [H, W, 3] working-size image. Returns one Octave per
-    NUM_OCTAVE; shapes shrink per octave_shapes (static python loop: each
-    octave has a distinct static shape under jit)."""
-    h, w = img_rgb.shape[0], img_rgb.shape[1]
+def build_scale_space(img: jnp.ndarray, cfg: Config) -> list[Octave]:
+    """img: [H, W, 3] RGB or [H, W] grey working-size image. Returns one
+    Octave per NUM_OCTAVE; shapes shrink per octave_shapes (static python
+    loop: each octave has a distinct static shape under jit).
+
+    Grey conversion happens BEFORE the per-octave resizes (the reference
+    greys AFTER each octave's resize, dog.cc:49): both ops are linear, so
+    grey(resize(x)) == resize(grey(x)) exactly in real arithmetic (fp
+    rounding differs ~1ulp), and resizing one channel instead of three
+    does a third of the gather work."""
+    grey = rgb2grey(img) if img.ndim == 3 else img
+    h, w = grey.shape[0], grey.shape[1]
     octaves = []
     for i, (oh, ow) in enumerate(octave_shapes(h, w, cfg)):
-        oct_img = img_rgb if i == 0 else resize(img_rgb, oh, ow)
-        octaves.append(build_octave(rgb2grey(oct_img), cfg))
+        oct_img = grey if i == 0 else resize(grey, oh, ow)
+        octaves.append(build_octave(oct_img, cfg))
     return octaves

@@ -68,7 +68,8 @@ def stitch_cylinder(imgs: np.ndarray, cfg: Config, key=None,
 
         imgs, feats = compute_features_sharded(imgs, cfg, mesh)
     elif isinstance(imgs, np.ndarray) and imgs.dtype == np.uint8:
-        # pipelined path: delta-coded batch uploads overlap the SIFT compute
+        # wire-codec'd grey upload feeds SIFT; the full-res RGB streams in
+        # the background and joins before the warp (stitcherbase docs)
         imgs, feats = upload_and_compute_features(imgs, cfg)
     else:
         imgs = jnp.asarray(imgs, jnp.float32)
@@ -134,6 +135,10 @@ def stitch_cylinder(imgs: np.ndarray, cfg: Config, key=None,
     # ---- warp all images + keypoints (cylstitcher.cc:64-67) ----
     # with a mesh the batch axis stays sharded (GSPMD partitions the
     # pure-vmap warp with no collectives)
+    from .stitcherbase import DeferredImages
+
+    if isinstance(imgs, DeferredImages):
+        imgs = imgs.get()  # join the background RGB wire stream
     warped = jax.jit(jax.vmap(
         lambda im: warp_image(proj, im, wH, wW, W, H)
     ))(imgs)

@@ -290,7 +290,8 @@ def stitch(imgs: np.ndarray, cfg: Config, key=None, output: str = "f32",
         return _stitch_core(imgs, feats, whs_np, cfg, key, output, mesh,
                             info_out, host_imgs=host_imgs)
     elif isinstance(imgs, np.ndarray) and imgs.dtype == np.uint8:
-        # pipelined path: delta-coded batch uploads overlap the SIFT compute
+        # wire-codec'd grey upload feeds SIFT; full-res RGB streams in the
+        # background and joins at blend time (stitcherbase docs)
         with total_timer("upload+calc_feature"):
             imgs, feats = upload_and_compute_features(imgs, cfg)
             jax.block_until_ready(feats)
@@ -422,6 +423,12 @@ def _stitch_core(imgs, feats, whs_np: np.ndarray, cfg: Config, key,
         proj = "flat"
 
     with total_timer("blend"):
+        from .stitcherbase import DeferredImages
+
+        if isinstance(imgs, DeferredImages):
+            # join the background RGB wire stream (started during the
+            # feature stage; mostly hidden under match/BA)
+            imgs = imgs.get()
         plan = plan_render(homos, whs_np, mid, proj, cfg.MAX_OUTPUT_SIZE)
         if info_out is not None:
             info_out["homos"] = homos

@@ -34,17 +34,20 @@ _FEATURE_BATCH = int(_os.environ.get("OPENPANO_FEATURE_BATCH", "1"))
 @functools.partial(jax.jit, static_argnames=("cfg", "wh_", "ww_"))
 def _feature_chunk(batch, whs, cfg: Config, wh_: int, ww_: int) -> Features:
     """One fused device call per chunk: resize-to-working-size + full SIFT.
-    A single dispatch matters: eager per-op execution pays a host<->device
-    round trip per op, which dominates on a remote-attached TPU."""
+    ``batch`` is [B, H, W, 3] RGB or [B, H, W] grey (the SIFT pyramid greys
+    before its octave resizes either way).  A single dispatch matters:
+    eager per-op execution pays a host<->device round trip per op, which
+    dominates on a remote-attached TPU."""
     work = jax.vmap(lambda im: resize(im, wh_, ww_))(batch)
     return detect_and_describe_batch(work, whs, cfg)
 
 
 def compute_features(imgs: jnp.ndarray, cfg: Config) -> Features:
-    """imgs: [N, H, W, 3] float32 in [0,1] (uniform shape).  Returns batched
-    Features with half-shifted original-image coordinates.  Large image sets
-    stream through the device in fixed-size batches (the TPU analog of the
-    reference's LAZY_READ memory strategy, stitcherbase.cc:16-19)."""
+    """imgs: [N, H, W, 3] RGB or [N, H, W] grey, float32 in [0,1] (uniform
+    shape).  Returns batched Features with half-shifted original-image
+    coordinates.  Large image sets stream through the device in fixed-size
+    batches (the TPU analog of the reference's LAZY_READ memory strategy,
+    stitcherbase.cc:16-19)."""
     n, h, w = imgs.shape[0], imgs.shape[1], imgs.shape[2]
     wh_, ww_ = working_size(w, h, cfg.SIFT_WORKING_SIZE)
     whs = jnp.broadcast_to(jnp.asarray([w, h], jnp.float32), (n, 2))
@@ -126,53 +129,127 @@ def _u8_to_f32(x):
     return x.astype(jnp.float32) / 255.0
 
 
+@functools.partial(jax.jit, static_argnames=("n", "h", "w"))
+def _grey_rows_to_f32(rows_u8, n: int, h: int, w: int):
+    """[N*H, W] u8 grey rows -> [N, H, W] f32 in [0, 1]."""
+    return rows_u8.astype(jnp.float32).reshape(n, h, w) / 255.0
+
+
+@functools.partial(jax.jit, static_argnames=("n", "h", "w"))
+def _grey_sum_to_f32(grey_u8, res_u8, n: int, h: int, w: int):
+    """Exact channel-sum grey: [N*H, W] u8 grey + {0,1,2} residual ->
+    [N, H, W] f32 mean-of-channels.  r+g+b == 3*grey + res - 1 (integer,
+    exact), so the SIFT input carries no wire quantization."""
+    s = 3 * grey_u8.astype(jnp.int32) + res_u8.astype(jnp.int32) - 1
+    return (s.astype(jnp.float32) / (3.0 * 255.0)).reshape(n, h, w)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "h", "w"))
+def _planar_rows_to_f32(rows_u8, n: int, h: int, w: int):
+    """[3*N*H, W] u8 channel-planar rows -> [N, H, W, 3] f32 in [0, 1]."""
+    planar = rows_u8.reshape(3, n, h, w)
+    return planar.transpose(1, 2, 3, 0).astype(jnp.float32) / 255.0
+
+
+@functools.partial(jax.jit, static_argnames=("n", "h", "w"))
+def _chroma_rows_to_f32(grey_u8, res_u8, chroma_rows, n: int, h: int, w: int):
+    """Rebuild exact RGB from the grey+residual planes (already on device
+    from the feature stage) plus two mod-256 chroma planes:
+        r = (grey + cr) mod 256,  b = (grey + cb) mod 256,
+        g = (r+g+b) - r - b      where r+g+b = 3*grey + res - 1.
+    chroma_rows: [2*N*H, W] u8 (cr rows then cb rows).
+    Exact integers throughout -> bit-identical to the device's raw
+    u8 -> f32 conversion (_u8_to_f32) of an uncompressed upload."""
+    g32 = grey_u8.astype(jnp.int32)
+    s = 3 * g32 + res_u8.astype(jnp.int32) - 1
+    cr = chroma_rows[: n * h].astype(jnp.int32)
+    cb = chroma_rows[n * h :].astype(jnp.int32)
+    r = (g32 + cr) & 0xFF
+    b = (g32 + cb) & 0xFF
+    g = s - r - b
+    rgb = jnp.stack([r, g, b], axis=0).astype(jnp.float32) / 255.0
+    return rgb.reshape(3, n, h, w).transpose(1, 2, 3, 0)
+
+
+class DeferredImages:
+    """f32 image stack whose wire transfer may still be in flight.
+
+    The full-res RGB stack is needed only by the blender, ~2 s of compute
+    after features — so its upload streams in a background thread (4 MB
+    chunks, interleaving with the match/BA dispatch traffic) and ``get()``
+    joins + decodes right before the blend.  The TPU analog of the
+    reference's LAZY_READ deferred image loads (imageref.hh:22,
+    stitcherbase.cc:14-19)."""
+
+    def __init__(self, bg, n: int, h: int, w: int,
+                 dev_grey=None, dev_res=None):
+        self._bg = bg
+        self.shape = (n, h, w, 3)
+        self.dtype = jnp.float32
+        self._grey = dev_grey
+        self._res = dev_res
+        self._imgs = None
+
+    def get(self):
+        if self._imgs is None:
+            rows = self._bg.result()
+            n, h, w, _ = self.shape
+            if self._grey is not None:
+                # chroma stream: rebuild RGB from the resident grey+res
+                self._imgs = _chroma_rows_to_f32(
+                    self._grey, self._res, rows, n=n, h=h, w=w
+                )
+            else:
+                self._imgs = _planar_rows_to_f32(rows, n=n, h=h, w=w)
+            self._bg = None
+            self._grey = self._res = None
+        return self._imgs
+
+
 def upload_and_compute_features(host_u8: np.ndarray, cfg: Config):
-    """Pipelined host->device upload + feature extraction.
+    """Wire-codec'd upload + feature extraction.
 
-    host_u8: [N, H, W, 3] uint8 on host.  Uploads delta-coded batches and
-    dispatches each batch's SIFT while the next batch rides the wire — the
-    transfer of batch k+1 overlaps the feature compute of batch k (the TPU
-    analog of the reference's IO/compute overlap via per-thread lazy image
-    loads under OpenMP, stitcherbase.cc:14-19 + imageref.hh:22).
+    host_u8: [N, H, W, 3] uint8 on host.  The tunneled TPU transport is
+    byte-bound at ~55 MB/s (r4 measurements: dtype, chunking, threading
+    all change nothing), so the raw 128 MB headline stack costs 2.1 s —
+    more than the SIFT compute it feeds.  Two levers cut that:
 
-    Returns (imgs_f32_device [N,H,W,3], Features).
+      1. SIFT only needs GREY pixels.  A threaded C pass (wire_grey_res_u8)
+         makes the rounded-mean grey plane + a 2-bit channel-sum residual
+         on host (exact integer reconstruction — u8-quantized grey alone
+         shifted ~1% of keypoints and collapsed the camera estimate); the
+         4-bit nibble-delta wire codec packs the grey (~23 MB) and the
+         residual rides at 0.25 B/px (~11 MB), ~0.62 s total, and the
+         pyramid runs grey-first (pyramid.build_scale_space).
+      2. The full-res RGB stack is needed only by the blender, so its
+         (codec'd) upload streams in a background thread while matching
+         and bundle adjustment run — DeferredImages.get() joins before
+         the blend.
+
+    Returns (DeferredImages, Features).
     """
-    from ..io.transfer import device_put_u8_delta
+    from ..io import wirecodec
+    from .. import native
 
     n, h, w = host_u8.shape[0], host_u8.shape[1], host_u8.shape[2]
-    wh_, ww_ = working_size(w, h, cfg.SIFT_WORKING_SIZE)
+    grey8, res = native.wire_grey_res_u8(host_u8)  # [N, H, W] u8 each
+    dev_grey = wirecodec.upload_u8_rows(grey8.reshape(n * h, w))
+    dev_res = wirecodec.upload_2bit_rows(res.reshape(n * h, w))
 
-    B = _FEATURE_BATCH
-    whs = jnp.broadcast_to(jnp.asarray([w, h], jnp.float32), (B, 2))
-    parts = []
-    feat_parts = []
-    nb = -(-n // B)
-    # issue upload k+1 before dispatching features on batch k so the wire
-    # transfer and the SIFT compute overlap
-    parts.append(_u8_to_f32(device_put_u8_delta(host_u8[:B])))
-    for k in range(nb):
-        if k + 1 < nb:
-            lo = (k + 1) * B
-            parts.append(_u8_to_f32(device_put_u8_delta(host_u8[lo : lo + B])))
-        batch = parts[k]
-        if batch.shape[0] < B:  # pad to keep one compiled executable
-            pad = B - batch.shape[0]
-            rep = jnp.broadcast_to(batch[:1], (pad,) + batch.shape[1:])
-            batch = jnp.concatenate([batch, rep], axis=0)
-        feat_parts.append(_feature_chunk(batch, whs[:B], cfg, wh_, ww_))
+    # chroma stream (r-grey, b-grey mod 256: smoother than raw channels,
+    # and the third channel comes free from the exact sum) starts after
+    # the grey puts are enqueued (the wire is FIFO); host-side prep +
+    # encode run in the thread
+    g8_rows = grey8.reshape(n * h, w)
 
-    imgs = parts[0] if nb == 1 else jnp.concatenate(parts, axis=0)
-    feats = (
-        feat_parts[0]
-        if nb == 1
-        else jax.tree_util.tree_map(
-            lambda *c: jnp.concatenate(c, axis=0), *feat_parts
-        )
-    )
-    imgs = imgs[:n]
-    feats = jax.tree_util.tree_map(lambda x: x[:n], feats)
-    counts = np.asarray(jnp.sum(feats.valid, axis=1))
-    for i, c in enumerate(counts):
-        if c == 0:  # stitcherbase.cc:20-21
-            raise RuntimeError(f"Cannot find feature in image {i}!")
-    return imgs, feats
+    def _chroma():
+        cr = (host_u8[..., 0].reshape(n * h, w).astype(np.int16)
+              - g8_rows) & 0xFF
+        cb = (host_u8[..., 2].reshape(n * h, w).astype(np.int16)
+              - g8_rows) & 0xFF
+        return np.concatenate([cr, cb], axis=0).astype(np.uint8)
+
+    bg = wirecodec.BackgroundUpload(_chroma)
+    grey = _grey_sum_to_f32(dev_grey, dev_res, n=n, h=h, w=w)
+    feats = compute_features(grey, cfg)
+    return DeferredImages(bg, n, h, w, dev_grey, dev_res), feats
