@@ -71,6 +71,7 @@ def stitch_cylinder(imgs: np.ndarray, cfg: Config, key=None,
         # wire-codec'd grey upload feeds SIFT; the full-res RGB streams in
         # the background and joins before the warp (stitcherbase docs)
         imgs, feats = upload_and_compute_features(imgs, cfg)
+        imgs.start_background()  # chroma stream rides under the h-search
     else:
         imgs = jnp.asarray(imgs, jnp.float32)
         feats = compute_features(imgs, cfg)

@@ -295,6 +295,7 @@ def stitch(imgs: np.ndarray, cfg: Config, key=None, output: str = "f32",
         with total_timer("upload+calc_feature"):
             imgs, feats = upload_and_compute_features(imgs, cfg)
             jax.block_until_ready(feats)
+        imgs.start_background()  # chroma stream rides under match/BA
     else:
         with total_timer("upload"):
             imgs = jnp.asarray(imgs)

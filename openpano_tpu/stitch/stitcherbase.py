@@ -190,6 +190,13 @@ class DeferredImages:
         self._res = dev_res
         self._imgs = None
 
+    def start_background(self):
+        """Release the chroma stream onto the wire (called by the
+        stitcher once the latency-sensitive feature fetch is done; the
+        host-side encode has been running since upload time)."""
+        if self._bg is not None:
+            self._bg.release_wire()
+
     def get(self):
         if self._imgs is None:
             rows = self._bg.result()
@@ -249,7 +256,10 @@ def upload_and_compute_features(host_u8: np.ndarray, cfg: Config):
               - g8_rows) & 0xFF
         return np.concatenate([cr, cb], axis=0).astype(np.uint8)
 
-    bg = wirecodec.BackgroundUpload(_chroma)
+    # the encode thread starts now (host cores are idle during the
+    # device-bound SIFT window) but its wire chunks hold until the
+    # stitcher releases them after the feature fetch
+    bg = wirecodec.BackgroundUpload(_chroma, gate_wire=True)
     grey = _grey_sum_to_f32(dev_grey, dev_res, n=n, h=h, w=w)
     feats = compute_features(grey, cfg)
     return DeferredImages(bg, n, h, w, dev_grey, dev_res), feats
