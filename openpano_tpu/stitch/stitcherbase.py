@@ -115,7 +115,32 @@ def compute_features_sharded(imgs, cfg: Config, mesh):
     whs = jax.device_put(
         jnp.broadcast_to(jnp.asarray([w, h], jnp.float32),
                          (imgs.shape[0], 2)), batch_sh)
-    feats = _feature_chunk(imgs, whs, cfg, wh_, ww_)
+    # chunk the sharded dispatch like the single-device path: one jit over
+    # the WHOLE batch holds every image's scale-space/window intermediates
+    # live at once (~2.7 GB/image on the CPU backend — n=100 OOM-killed a
+    # 125 GB host in the r4 giga run).  Chunks of _FEATURE_BATCH images
+    # per device each shard over the full mesh; every chunk is RESHARDED
+    # to the same even batch sharding first (slicing a block-sharded
+    # stack hands chunk k a different lopsided layout -> per-chunk
+    # recompiles with degenerate partitions), and chunks run serialized
+    # (async dispatch lets several live sets coexist).
+    chunk = _FEATURE_BATCH * nd
+    total = imgs.shape[0]
+    if total <= chunk:
+        feats = _feature_chunk(imgs, whs, cfg, wh_, ww_)
+    else:
+        parts = []
+        for lo in range(0, total, chunk):
+            batch = imgs[lo : lo + chunk]
+            if batch.shape[0] < chunk:  # pad; mesh multiple guaranteed
+                rep = jnp.broadcast_to(
+                    batch[:1], (chunk - batch.shape[0],) + batch.shape[1:])
+                batch = jnp.concatenate([batch, rep], axis=0)
+            batch = jax.device_put(batch, batch_sh)
+            parts.append(_feature_chunk(batch, whs[:chunk], cfg, wh_, ww_))
+            jax.block_until_ready(parts[-1].valid)
+        feats = jax.tree_util.tree_map(
+            lambda *c: jnp.concatenate(c, axis=0)[:total], *parts)
     feats = jax.tree_util.tree_map(lambda x: x[:n], feats)
     counts = np.asarray(jnp.sum(feats.valid, axis=1))
     for i, c in enumerate(counts):

@@ -61,6 +61,8 @@ def main() -> None:
     ap.add_argument("--overlap", type=float, default=0.4)
     ap.add_argument("--mesh", type=int, default=0,
                     help="shard the pipeline over the first N devices")
+    ap.add_argument("--working-size", type=int, default=800,
+                    help="SIFT_WORKING_SIZE (large-n CPU runs want smaller)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -80,6 +82,7 @@ def main() -> None:
         ESTIMATE_CAMERA=False, TRANS=True, ORDERED_INPUT=True,
         MAX_OUTPUT_SIZE=79000,
         MAX_KP_PER_IMAGE=2048, MAX_MATCHES_PER_PAIR=1024,
+        SIFT_WORKING_SIZE=args.working_size,
     )
     views = make_strip_views(n, w, h, args.overlap)
     views8 = np.round(views * 255.0).astype(np.uint8)
