@@ -81,7 +81,10 @@ def main() -> None:
     cfg = Config(
         ESTIMATE_CAMERA=False, TRANS=True, ORDERED_INPUT=True,
         MAX_OUTPUT_SIZE=79000,
-        MAX_KP_PER_IMAGE=2048, MAX_MATCHES_PER_PAIR=1024,
+        # large-n capacity: ~600 kpts/img at working size 400, so the
+        # 2048 cap would spend 4x the pair-distance HBM for nothing
+        # (n=500's ring match OOM'd a 16 GB chip at K=2048)
+        MAX_KP_PER_IMAGE=1024, MAX_MATCHES_PER_PAIR=512,
         SIFT_WORKING_SIZE=args.working_size,
     )
     views = make_strip_views(n, w, h, args.overlap)
