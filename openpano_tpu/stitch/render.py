@@ -712,6 +712,94 @@ def blend_linear_sharded(imgs: jnp.ndarray, plan: RenderPlan, ordered: bool,
     return np.asarray(canvas)[: plan.out_h, : plan.out_w]
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("proj", "ordered", "TH", "TW", "Hp", "SW", "u8"),
+)
+def _host_band_step(band_imgs, idx, rng, org, hinv, whs, proj_min,
+                    resolution, halo_c, halo_w, x0,
+                    proj: str, ordered: bool, TH: int, TW: int,
+                    Hp: int, SW: int, u8: bool):
+    """One column band of the single-device beyond-HBM blend: accumulate
+    the band's jobs from its own (just-uploaded) image slice, fold in the
+    previous band's spill halo, and emit (final strip, next halo)."""
+    band = band_imgs.astype(jnp.float32) / 255.0 if u8 else band_imgs
+    paired = pair_imgs_x(band)
+    c = jnp.zeros((Hp, SW + TW, 3), jnp.float32)
+    w = jnp.zeros((Hp, SW + TW), jnp.float32)
+    c, w = _blend_scan(c, w, paired, hinv, whs, idx, rng, org,
+                       proj_min, resolution, proj, ordered, TH, TW,
+                       slice_x0=x0)
+    c = c.at[:, :TW].add(halo_c)
+    w = w.at[:, :TW].add(halo_w)
+    strip_c, strip_w = c[:, :SW], w[:, :SW]
+    has = strip_w > 0
+    out = jnp.where(
+        has[..., None],
+        strip_c / jnp.where(has, strip_w, 1.0)[..., None],
+        INVALID,
+    )
+    return out, c[:, SW:], w[:, SW:]
+
+
+def blend_linear_host_stream(imgs: np.ndarray, plan: RenderPlan,
+                             ordered: bool, groups: int) -> np.ndarray:
+    """Beyond-HBM linear blend on ONE device.
+
+    The mesh-sharded blender bounds per-device memory by giving each
+    device one column band and a single neighbor halo ppermute
+    (blend_linear_sharded); this is its mesh=1 degenerate run
+    SEQUENTIALLY: band g's image slice uploads from HOST RAM, its strip
+    blends and downloads, its spill columns carry to band g+1 as a
+    host-side loop variable (the halo exchange in time instead of space).
+    Peak device memory is one band's image slice + one [Hp, SW+TW]
+    accumulator pair, independent of N — the reference's LAZY_READ
+    load -> accumulate -> release model (blender.cc:38-76,
+    README.md:133-136) for image sets larger than one HBM.
+
+    imgs: HOST numpy [N, H, W, 3] u8 or f32.  Returns the blended
+    [out_h, out_w, 3] f32 canvas (host, INVALID where empty)."""
+    G, SW, Hp, Wp, TH, TW, band_jobs = _tile_jobs(
+        plan, groups=groups, exact=True
+    )
+    assert G == groups
+    IC = max(max(len(b[0]) for b in band_jobs), 1)
+    band_imgs = [np.unique(b[0]) if len(b[0]) else np.zeros(1, np.int64)
+                 for b in band_jobs]
+    NI = max(len(u) for u in band_imgs)
+    u8 = imgs.dtype == np.uint8
+
+    proj_min = jnp.asarray(plan.proj_min, jnp.float32)
+    resolution = jnp.asarray(plan.resolution, jnp.float32)
+    halo_c = jnp.zeros((Hp, TW, 3), jnp.float32)
+    halo_w = jnp.zeros((Hp, TW), jnp.float32)
+    strips = []
+    for g, (bi, br, bo, _sid) in enumerate(band_jobs):
+        u = band_imgs[g]
+        slot = np.zeros(NI, np.int64)
+        slot[: len(u)] = u
+        idx = np.zeros(IC, np.int32)
+        rng = np.zeros((IC, 4), np.float32)
+        org = np.zeros((IC, 2), np.int32)
+        idx[: len(bi)] = np.searchsorted(u, bi)
+        rng[: len(bi)] = br
+        org[: len(bi)] = bo
+        band_slice = jax.device_put(np.ascontiguousarray(imgs[slot]))
+        strip, halo_c, halo_w = _host_band_step(
+            band_slice, jnp.asarray(idx), jnp.asarray(rng),
+            jnp.asarray(org), jnp.asarray(plan.homo_invs[slot]),
+            jnp.asarray(plan.whs[slot], jnp.float32), proj_min, resolution,
+            halo_c, halo_w, jnp.int32(g * SW),
+            proj=plan.proj, ordered=ordered, TH=TH, TW=TW, Hp=Hp, SW=SW,
+            u8=u8,
+        )
+        strip.copy_to_host_async()
+        strips.append(strip)
+        del band_slice
+    canvas = np.concatenate([np.asarray(s) for s in strips], axis=1)
+    return canvas[: plan.out_h, : plan.out_w]
+
+
 def _device_put_banded(host_arr: np.ndarray, band_sharding):
     """Upload a [G, ...] host array band-sharded (shard g goes straight to
     device g; no full-stack device buffer).  A seam so tests can observe

@@ -291,9 +291,19 @@ def stitch(imgs: np.ndarray, cfg: Config, key=None, output: str = "f32",
                             info_out, host_imgs=host_imgs)
     elif isinstance(imgs, np.ndarray) and imgs.dtype == np.uint8:
         # wire-codec'd grey upload feeds SIFT; full-res RGB streams in the
-        # background and joins at blend time (stitcherbase docs)
+        # background and joins at blend time (stitcherbase docs) — unless
+        # the paired f32 stack would exceed one HBM, in which case NO
+        # full-stack upload happens and the blender streams band slices
+        # from host RAM (render.blend_linear_host_stream)
+        import os as _os
+
+        budget = float(_os.environ.get("OPENPANO_HBM_BUDGET_GB", "8"))
+        paired_gb = imgs.shape[0] * imgs.shape[1] * imgs.shape[2] * 36 / 1e9
+        beyond_hbm = paired_gb > budget or _os.environ.get(
+            "OPENPANO_HOST_BLEND", "") == "1"
         with total_timer("upload+calc_feature"):
-            imgs, feats = upload_and_compute_features(imgs, cfg)
+            imgs, feats = upload_and_compute_features(
+                imgs, cfg, rgb_stream=not beyond_hbm)
             jax.block_until_ready(feats)
         imgs.start_background()  # chroma stream rides under match/BA
     else:
@@ -424,7 +434,7 @@ def _stitch_core(imgs, feats, whs_np: np.ndarray, cfg: Config, key,
         proj = "flat"
 
     with total_timer("blend"):
-        from .stitcherbase import DeferredImages
+        from .stitcherbase import DeferredImages, HostImages
 
         if isinstance(imgs, DeferredImages):
             # join the background RGB wire stream (started during the
@@ -465,6 +475,26 @@ def _stitch_core(imgs, feats, whs_np: np.ndarray, cfg: Config, key,
             if output == "u8":
                 u8, valid = _f32_to_u8(canvas)
                 result = (np.asarray(u8), np.asarray(valid))
+            else:
+                result = canvas
+        elif isinstance(imgs, HostImages):
+            # beyond-one-HBM single device: sequential column bands with
+            # host band-slice uploads; per-band device memory independent
+            # of N (LAZY_READ analog; multiband needs the mesh path)
+            import os as _os
+
+            from .render import blend_linear_host_stream
+
+            budget = float(_os.environ.get("OPENPANO_HBM_BUDGET_GB", "8"))
+            n_im, H_im, W_im = imgs.shape[:3]
+            paired_gb = n_im * H_im * W_im * 36 / 1e9
+            groups = max(2, int(np.ceil(paired_gb / max(budget * 0.25, 0.1))))
+            canvas = blend_linear_host_stream(
+                imgs.host, plan, ordered=cfg.ORDERED_INPUT, groups=groups)
+            if output == "u8":
+                valid = canvas[..., 0] >= 0
+                u8c = np.clip(np.round(canvas * 255.0), 0, 255).astype(np.uint8)
+                result = (np.where(valid[..., None], u8c, 255), valid)
             else:
                 result = canvas
         elif output == "u8" and cfg.MULTIBAND == 0 and cfg.STREAM_BLEND:

@@ -238,7 +238,22 @@ class DeferredImages:
         return self._imgs
 
 
-def upload_and_compute_features(host_u8: np.ndarray, cfg: Config):
+class HostImages:
+    """Host-resident u8 stack marker: the beyond-one-HBM single-device
+    path — NO full-stack device upload ever happens; the blender streams
+    band slices from this array (render.blend_linear_host_stream)."""
+
+    def __init__(self, host_u8: np.ndarray):
+        self.host = host_u8
+        self.shape = tuple(host_u8.shape)
+        self.dtype = jnp.float32
+
+    def start_background(self):  # uniform call site with DeferredImages
+        pass
+
+
+def upload_and_compute_features(host_u8: np.ndarray, cfg: Config,
+                                rgb_stream: bool = True):
     """Wire-codec'd upload + feature extraction.
 
     host_u8: [N, H, W, 3] uint8 on host.  The tunneled TPU transport is
@@ -258,7 +273,13 @@ def upload_and_compute_features(host_u8: np.ndarray, cfg: Config):
          and bundle adjustment run — DeferredImages.get() joins before
          the blend.
 
-    Returns (DeferredImages, Features).
+    ``rgb_stream=False`` skips the chroma stream entirely and returns a
+    HostImages marker instead — for image sets whose paired f32 stack
+    exceeds one HBM, where the blender must stream band slices from host
+    RAM (render.blend_linear_host_stream) rather than join a full-stack
+    device array.
+
+    Returns (DeferredImages | HostImages, Features).
     """
     from ..io import wirecodec
     from .. import native
@@ -281,10 +302,13 @@ def upload_and_compute_features(host_u8: np.ndarray, cfg: Config):
               - g8_rows) & 0xFF
         return np.concatenate([cr, cb], axis=0).astype(np.uint8)
 
-    # the encode thread starts now (host cores are idle during the
-    # device-bound SIFT window) but its wire chunks hold until the
-    # stitcher releases them after the feature fetch
-    bg = wirecodec.BackgroundUpload(_chroma, gate_wire=True)
+    if rgb_stream:
+        # the encode thread starts now (host cores are idle during the
+        # device-bound SIFT window) but its wire chunks hold until the
+        # stitcher releases them after the feature fetch
+        bg = wirecodec.BackgroundUpload(_chroma, gate_wire=True)
     grey = _grey_sum_to_f32(dev_grey, dev_res, n=n, h=h, w=w)
     feats = compute_features(grey, cfg)
+    if not rgb_stream:
+        return HostImages(host_u8), feats
     return DeferredImages(bg, n, h, w, dev_grey, dev_res), feats
