@@ -124,6 +124,53 @@ def main():
     kernel_parity = tpu_kernel_check.check()
     assert kernel_parity["ok"], kernel_parity
 
+    # ---- roofline accounting (VERDICT r3 #6): which resource bounds each
+    # stage — MXU FLOPs, HBM bytes, or tunnel-wire bytes ----
+    import roofline
+
+    n_cand_pairs = int(info.get("connected_pairs", n * (n - 1) // 2))
+    feat_secs = stage_s.get("upload+calc_feature",
+                            stage_s.get("calc_feature", 0.0))
+    rl = {
+        "feature": roofline.relate(
+            roofline.feature_stage(n, out_w, out_h, cfg), feat_secs),
+        "match_2nn": roofline.relate(
+            roofline.match_stage(n * (n - 1) // 2, cfg.MAX_KP_PER_IMAGE,
+                                 cfg.DESC_LEN),
+            stage_s.get("match_2nn", 0.0)),
+        "blend": roofline.relate(
+            roofline.blend_stage(int(out.shape[1]), int(out.shape[0])),
+            stage_s.get("blend", 0.0)),
+    }
+
+    # ---- multiband blender case (VERDICT r3 #7: the BASELINE.md
+    # "38-image ... + multiband" config measured in the same artifact) ----
+    mb_extra = None
+    if os.environ.get("BENCH_SKIP_MULTIBAND", "0") != "1":
+        cfg_mb = cfg.replace(MULTIBAND=2)
+        stitch(views, cfg_mb, key=jax.random.PRNGKey(1), output="u8")  # compile
+        timer.reset()
+        t0 = time.time()
+        out_mb, valid_mb = stitch(views, cfg_mb, key=jax.random.PRNGKey(1),
+                                  output="u8")
+        mb_wall = time.time() - t0
+        mb_stage = {lbl: round(s, 3) for lbl, (_, s) in timer.totals().items()
+                    if lbl.startswith("blend")}
+        # content sanity vs the linear blend: same cameras, same canvas —
+        # NCC well above 0.98 (seam choice + band smoothing differ)
+        a = out.astype(np.float32)[valid & valid_mb]
+        b = out_mb.astype(np.float32)[valid & valid_mb]
+        a -= a.mean(); b -= b.mean()
+        denom = float(np.sqrt((a * a).mean() * (b * b).mean())) or 1.0
+        mb_extra = {
+            "wall_s": round(mb_wall, 3),
+            "img_per_s": round(n / mb_wall, 3),
+            "blend_stage_s": mb_stage,
+            "ncc_vs_linear": round(float((a * b).mean()) / denom, 4),
+            "final_size": [int(out_mb.shape[1]), int(out_mb.shape[0])],
+        }
+        assert mb_extra["ncc_vs_linear"] > 0.97, mb_extra
+
     img_per_s = n / dt
     baseline = 38 / 51.0  # reference CMU0 headline (BASELINE.md)
     print(json.dumps({
@@ -141,6 +188,8 @@ def main():
             "mean_reproj_err_px": round(reproj, 3),
             "final_size": [int(out.shape[1]), int(out.shape[0])],
             "stage_s": stage_s,
+            "roofline": rl,
+            "multiband": mb_extra,
             "kernel_parity": kernel_parity,
             "peak_rss_mb": round(timer.peak_rss_mb(), 1),
         },
