@@ -248,10 +248,9 @@ def estimate_cameras(
                 )
             else:
                 from .bundle_adjuster import _ne_f32_default
+                from ..utils.debug import numeric_checks_enabled
 
-                out = ba_optimize_pairs(
-                    jnp.asarray(params), prob, jnp.asarray(root), n,
-                    cfg.LM_LAMBDA,
+                ba_kwargs = dict(
                     device_solver=not cfg.BA_ON_HOST,
                     return_iters=want_iters,
                     adaptive=adaptive,
@@ -260,6 +259,22 @@ def estimate_cameras(
                     patience=patience,
                     rel_tol=rel_tol,
                 )
+                ba_args = (jnp.asarray(params), prob, jnp.asarray(root), n,
+                           cfg.LM_LAMBDA)
+                if numeric_checks_enabled():
+                    # in-kernel m_assert analog (SURVEY §5.2,
+                    # debugutils.hh:41-52): float checks INSIDE the
+                    # compiled LM loop surface the first NaN/Inf instead
+                    # of a silently poisoned camera solution
+                    from jax.experimental import checkify
+
+                    err, out = checkify.checkify(
+                        lambda: ba_optimize_pairs(*ba_args, **ba_kwargs),
+                        errors=checkify.float_checks,
+                    )()
+                    err.throw()
+                else:
+                    out = ba_optimize_pairs(*ba_args, **ba_kwargs)
             if want_iters:
                 out, iters = out
                 params = np.array(out)

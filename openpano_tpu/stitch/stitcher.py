@@ -25,6 +25,7 @@ from ..camera.estimator import estimate_cameras
 from ..geometry.ransac import estimate_transform_batch
 from ..io.transfer import fetch
 from ..match.matcher import match_all_pairs, match_ring_pairs, pair_indices
+from ..utils.debug import assert_finite
 from ..utils.timer import total_timer
 from .render import blend_linear_stream_u8, plan_render, blend
 from .stitcherbase import compute_features, upload_and_compute_features
@@ -306,6 +307,7 @@ def stitch(imgs: np.ndarray, cfg: Config, key=None, output: str = "f32",
                 imgs, cfg, rgb_stream=not beyond_hbm)
             jax.block_until_ready(feats)
         imgs.start_background()  # chroma stream rides under match/BA
+        assert_finite("calc_feature", pos=feats.pos, desc=feats.desc)
     else:
         with total_timer("upload"):
             imgs = jnp.asarray(imgs)
@@ -407,6 +409,8 @@ def _stitch_core(imgs, feats, whs_np: np.ndarray, cfg: Config, key,
                 feats, whs, cfg, key, ordered=cfg.ORDERED_INPUT,
                 affine=cfg.TRANS, mesh=mesh,
             )
+        assert_finite("pairwise_match", conf=graph.conf, homo=graph.homo,
+                      to_pos=graph.to_pos, from_pos=graph.from_pos)
     if info_out is not None:
         info_out["graph"] = graph
     if info_out is not None:
@@ -422,6 +426,7 @@ def _stitch_core(imgs, feats, whs_np: np.ndarray, cfg: Config, key,
                 graph.conf, graph.homo, graph.to_pos, graph.from_pos, graph.valid,
                 whs_np, cfg, mesh=mesh, stats=info_out,
             )
+        assert_finite("estimate_camera", focal=cams.focal, R=cams.R)
         homos = np.zeros((n, 3, 3))
         for i in range(n):                        # stitcher.cc:143-154
             K = intrinsic(cams.focal[i], cams.ppx[i], cams.ppy[i])

@@ -36,24 +36,31 @@ class TestShardedPipeline:
     def test_mesh_size_independent(self):
         """1-device vs 8-device mesh must produce the same panorama.
 
-        Two admissible noise sources keep this a tolerance (not bit-exact)
-        comparison: (a) the psum reduction order inside the f64 BA changes
-        with mesh size, and the LM accept-threshold (>1e-3 RMS) can amplify
-        an ulp into a slightly different trajectory (sub-pixel camera
-        shifts); (b) the persistent XLA cache may serve an executable with
-        different f32 instruction selection for one of the two runs."""
+        Gates tightened per VERDICT r3 #9 from measured deltas (focal
+        7e-11, R 3e-13, 100% validity agreement, max color 2e-7): the
+        recovered CAMERAS compare near-bit-tight in f64 — the psum
+        reduction order is the only admissible noise and it enters below
+        the LM accept threshold — while pixels keep a small slack for
+        XLA-cache instruction-selection variance in the f32 blend."""
         assert len(jax.devices()) == 8
+        from openpano_tpu.stitch.stitcher import stitch
+
         views = _scene_views()
         cfg = _small_cfg()
         key = jax.random.PRNGKey(0)
-        out1 = stitch_sharded(views, cfg, make_mesh(1), key=key)
-        out8 = stitch_sharded(views, cfg, make_mesh(8), key=key)
+        i1, i8 = {}, {}
+        out1 = stitch(views, cfg, key=key, mesh=make_mesh(1), info_out=i1)
+        out8 = stitch(views, cfg, key=key, mesh=make_mesh(8), info_out=i8)
+        c1, c8 = i1["cams"], i8["cams"]
+        assert np.abs(c1.focal - c8.focal).max() < 1e-6
+        assert np.abs(c1.R - c8.R).max() < 1e-8
         assert out1.shape == out8.shape
         v1 = out1[..., 0] >= 0
         v8 = out8[..., 0] >= 0
-        assert (v1 == v8).mean() > 0.98
+        assert (v1 == v8).mean() > 0.9995
         both = v1 & v8
-        assert np.abs(out1[both] - out8[both]).mean() < 0.02
+        d = np.abs(out1[both] - out8[both])
+        assert d.mean() < 1e-6 and d.max() < 1e-4, (d.mean(), d.max())
 
     def test_sharded_matches_unsharded_stitch(self):
         """The mesh path is the production `stitch()` partitioned — it must
