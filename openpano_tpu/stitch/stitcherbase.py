@@ -286,8 +286,6 @@ def upload_and_compute_features(host_u8: np.ndarray, cfg: Config,
 
     n, h, w = host_u8.shape[0], host_u8.shape[1], host_u8.shape[2]
     grey8, res = native.wire_grey_res_u8(host_u8)  # [N, H, W] u8 each
-    dev_grey = wirecodec.upload_u8_rows(grey8.reshape(n * h, w))
-    dev_res = wirecodec.upload_2bit_rows(res.reshape(n * h, w))
 
     # chroma stream (r-grey, b-grey mod 256: smoother than raw channels,
     # and the third channel comes free from the exact sum) starts after
@@ -307,8 +305,33 @@ def upload_and_compute_features(host_u8: np.ndarray, cfg: Config,
         # device-bound SIFT window) but its wire chunks hold until the
         # stitcher releases them after the feature fetch
         bg = wirecodec.BackgroundUpload(_chroma, gate_wire=True)
-    grey = _grey_sum_to_f32(dev_grey, dev_res, n=n, h=h, w=w)
-    feats = compute_features(grey, cfg)
+
+    # pipeline the grey wire with the SIFT compute in ~GREY_CHUNK-image
+    # chunks: the async put of chunk k+1 rides the wire while the device
+    # runs chunk k's SIFT (5 chunks on the headline amortize dispatch
+    # overhead that 38 single-image puts paid in r2/r3, and overlap most
+    # of the ~0.6 s codec transfer under the 0.75 s of SIFT)
+    CH = max(int(_os.environ.get("OPENPANO_GREY_CHUNK", "8")), 1)
+    wh_, ww_ = working_size(w, h, cfg.SIFT_WORKING_SIZE)
+    whs1 = jnp.asarray([[w, h]], jnp.float32)
+    grey_parts, feat_parts = [], []
+    for lo in range(0, n, CH):
+        hi = min(lo + CH, n)
+        dg = wirecodec.upload_u8_rows(grey8[lo:hi].reshape(-1, w))
+        dr = wirecodec.upload_2bit_rows(res[lo:hi].reshape(-1, w))
+        grey_parts.append((dg, dr))
+        gchunk = _grey_sum_to_f32(dg, dr, n=hi - lo, h=h, w=w)
+        for i in range(hi - lo):
+            feat_parts.append(
+                _feature_chunk(gchunk[i : i + 1], whs1, cfg, wh_, ww_))
+    feats = jax.tree_util.tree_map(
+        lambda *c: jnp.concatenate(c, axis=0), *feat_parts)
+    counts = np.asarray(jnp.sum(feats.valid, axis=1))
+    for i, c in enumerate(counts):
+        if c == 0:  # stitcherbase.cc:20-21
+            raise RuntimeError(f"Cannot find feature in image {i}!")
     if not rgb_stream:
         return HostImages(host_u8), feats
+    dev_grey = jnp.concatenate([g for g, _ in grey_parts], axis=0)
+    dev_res = jnp.concatenate([r for _, r in grey_parts], axis=0)
     return DeferredImages(bg, n, h, w, dev_grey, dev_res), feats
