@@ -528,8 +528,23 @@ def ba_optimize_pairs(params: jnp.ndarray, prob: BAPairProblem,
     longer, so it takes MORE iterations (see Config.BA_ADAPTIVE_LM)."""
     # solve_sym_scaled_chol needs A = JtJ + diag(damp) SPD (see its doc)
     assert lm_lambda > 0, "LM damping must be positive (SPD precondition)"
-    dtype = params.dtype
-    flat0 = params.reshape(-1)
+    best_flat, itr = _lm_while(
+        params.reshape(-1), prob, n_cam, identity_idx, lm_lambda,
+        device_solver, adaptive, max_iter, ne_f32, patience, rel_tol,
+    )
+    out = best_flat.reshape(n_cam, 6)
+    if return_iters:
+        return out, itr
+    return out
+
+
+def _lm_while(flat0, prob: BAPairProblem, n_cam: int, identity_idx,
+              lm_lambda: float, device_solver: bool, adaptive: bool,
+              max_iter: int, ne_f32: bool, patience: int, rel_tol: float):
+    """The traced LM loop shared by ba_optimize_pairs (one dispatch per
+    pass) and ba_schedule_pairs (whole incremental schedule in one scan).
+    Returns (best_flat, iterations)."""
+    dtype = flat0.dtype
 
     upd_mask = jnp.ones((n_cam, 6), dtype)
     upd_mask = upd_mask.at[identity_idx, 3:].set(0.0)
@@ -579,10 +594,69 @@ def ba_optimize_pairs(params: jnp.ndarray, prob: BAPairProblem,
     init = (flat0, r0, err0, jnp.zeros((), jnp.int32),
             jnp.zeros((), jnp.int32), lam0)
     best_flat, _, _, _, itr, _ = jax.lax.while_loop(cond, body, init)
-    out = best_flat.reshape(n_cam, 6)
-    if return_iters:
-        return out, itr
-    return out
+    return best_flat, itr
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_cam", "lm_lambda", "device_solver", "adaptive", "max_iter",
+        "ne_f32", "patience", "rel_tol",
+    ),
+)
+def ba_schedule_pairs(params, prob: BAPairProblem, identity_idx,
+                      n_cam: int, lm_lambda: float,
+                      now, nxt, Hs, init_mask, pair_w_steps,
+                      device_solver: bool = False,
+                      adaptive: bool = False,
+                      max_iter: int = LM_MAX_ITER,
+                      ne_f32: bool = False,
+                      patience: int = NR_NON_DECREASE,
+                      rel_tol: float = 0.0):
+    """E steps of the MULTIPASS_BA incremental schedule in ONE compiled
+    scan: each step initializes camera ``nxt`` from its tree parent
+    ``now`` through the pair homography (camera_estimator.cc:59-69) and
+    runs one capped LM pass over the step's active-pair prefix.
+
+    The unfused path (estimator.run_ba) pays a host<->XLA dispatch round
+    trip per pass — ~37 of them on the headline; grouping the steps that
+    share one bucket shape into a scan leaves ~one dispatch per bucket.
+
+    now/nxt: [E] i32; Hs: [E,3,3] (maps nxt -> now, stitcher graph
+    orientation); init_mask: [E] (0 skips the init); pair_w_steps: [E,P].
+    Returns (params [n_cam,6], total LM iterations)."""
+    assert lm_lambda > 0
+    dtype = params.dtype
+
+    def init_cam(flat, now_e, nxt_e, H):
+        p = flat.reshape(n_cam, 6)
+        c_now = p[now_e]
+        K_now = _K(c_now[0], c_now[1], c_now[2], dtype)
+        R_now = rodrigues(c_now[3:6])
+        z = jnp.zeros((), dtype)
+        K_next = _K(p[nxt_e, 0], z, z, dtype)
+        Mt = jnp.linalg.inv(K_now) @ H @ K_next
+        R_next = (R_now.T @ Mt).T
+        from .rotation import rotation_to_angle
+
+        v = rotation_to_angle(R_next)
+        p = p.at[nxt_e, 1:3].set(0.0).at[nxt_e, 3:6].set(v)
+        return p.reshape(-1)
+
+    def step(flat, xs):
+        now_e, nxt_e, H, im, pw = xs
+        flat = jnp.where(im > 0, init_cam(flat, now_e, nxt_e, H), flat)
+        flat, itr = _lm_while(
+            flat, prob._replace(pair_w=pw), n_cam, identity_idx,
+            lm_lambda, device_solver, adaptive, max_iter, ne_f32,
+            patience, rel_tol,
+        )
+        return flat, itr
+
+    flat, iters = jax.lax.scan(
+        step, params.reshape(-1), (now, nxt, Hs, init_mask, pair_w_steps)
+    )
+    return flat.reshape(n_cam, 6), jnp.sum(iters)
 
 
 def pairs_to_points(from_idx, to_idx, pts_to, pts_from, valid, pair_active):

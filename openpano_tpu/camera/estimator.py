@@ -206,6 +206,24 @@ def estimate_cameras(
 
     n_active = 0
 
+    _prob_cache: dict = {}
+
+    def _prob_for(b: int, pw: np.ndarray) -> BAPairProblem:
+        """Bucketed problem arrays are schedule-invariant — convert the
+        slabs once per bucket and swap only the activation weights per
+        call (the per-call numpy->jnp conversions were pure overhead)."""
+        if b not in _prob_cache:
+            _prob_cache[b] = BAPairProblem(
+                pt_to=jnp.asarray(pt_to_slab[:b]),
+                pt_from=jnp.asarray(pt_from_slab[:b]),
+                w=jnp.asarray(w_slab[:b]),
+                cam_to=jnp.asarray(cam_a[:b]),
+                cam_from=jnp.asarray(cam_b[:b]),
+                swapped=jnp.asarray(pair_swapped[:b]),
+                pair_w=jnp.zeros(b),
+            )
+        return _prob_cache[b]._replace(pair_w=jnp.asarray(pw))
+
     def run_ba(max_iter=None, adaptive=None, patience=None, rel_tol=0.0):
         nonlocal params
         if max_iter is None:
@@ -229,15 +247,7 @@ def estimate_cameras(
             import time as _time
 
             t0 = _time.perf_counter()
-            prob = BAPairProblem(
-                pt_to=jnp.asarray(pt_to_slab[:b]),
-                pt_from=jnp.asarray(pt_from_slab[:b]),
-                w=jnp.asarray(w_slab[:b]),
-                cam_to=jnp.asarray(cam_a[:b]),
-                cam_from=jnp.asarray(cam_b[:b]),
-                swapped=jnp.asarray(pair_swapped[:b]),
-                pair_w=jnp.asarray(pw),
-            )
+            prob = _prob_for(b, pw)
             if mesh is not None:
                 from ..parallel.dist_ba import ba_optimize_pairs_sharded
 
@@ -295,39 +305,132 @@ def estimate_cameras(
     # each new camera still seeds from its tree parent's current estimate,
     # so initializations stay healthy with k-fold fewer LM dispatches
     batch_k = max(int(getattr(cfg, "BA_BATCH_IMAGES", 1)), 1)
-    since_ba = 0
-    visited = {root}
-    for now, nxt in edges:
-        # initialize camera[nxt] from camera[now] (camera_estimator.cc:59-69)
-        K_now = intrinsic(params[now, 0], params[now, 1], params[now, 2])
-        R_now = _np_rod(params[now, 3:6])
-        K_next = intrinsic(params[nxt, 0], 0.0, 0.0)
-        H = homos[now, nxt]                       # maps next -> now
-        Mt = np.linalg.inv(K_now) @ H @ K_next
-        R_next = (R_now.T @ Mt).T
-        params[nxt, 1:3] = 0.0
-        params[nxt, 3:6] = _np_unrod(R_next)
+    from ..utils.debug import numeric_checks_enabled
 
-        visited.add(nxt)
-        if cfg.MULTIPASS_BA > 0:
+    # OPENPANO_BA_FUSED=1 runs the whole intermediate schedule (camera
+    # inits + LM passes) as one compiled scan per bucket
+    # (ba_schedule_pairs) instead of ~n dispatches.  Default OFF for the
+    # host-CPU LM: measured SLOWER there (the python loop already
+    # overlaps call prep with async XLA execution, and the scanned
+    # while_loop loses ~30% to the standalone executable); it exists for
+    # device-placed BA, where per-dispatch wire round trips dominate.
+    fused = (cfg.MULTIPASS_BA == 1 and batch_k == 1 and mesh is None
+             and len(edges) > 0 and not numeric_checks_enabled()
+             and os.environ.get("OPENPANO_BA_FUSED", "0") == "1")
+    if fused:
+        # ---- fused schedule: camera inits + intermediate LM passes run
+        # as ONE compiled scan per bucket (ba_schedule_pairs) instead of
+        # ~n dispatch round trips (the round-trip overhead was ~40% of
+        # the stage on the headline) ----
+        from .bundle_adjuster import _ne_f32_default, ba_schedule_pairs
+
+        e_now, e_nxt, e_H, e_active = [], [], [], []
+        n_act = 0
+        visited = {root}
+        for now, nxt in edges:
+            visited.add(nxt)
             for i in sorted(visited - {nxt}):
                 key = (min(i, nxt), max(i, nxt))
                 if key in conn:
-                    n_active += slots_by_key[key]
-                    if cfg.MULTIPASS_BA == 2:
-                        run_ba(inter_iters, patience=cfg.BA_INTERMEDIATE_PATIENCE,
-                               rel_tol=cfg.BA_INTERMEDIATE_REL_TOL)  # BA after each connection
-            if cfg.MULTIPASS_BA == 1:
-                since_ba += 1
-                if since_ba >= batch_k or len(visited) == n:
-                    run_ba(inter_iters, patience=cfg.BA_INTERMEDIATE_PATIENCE,
-                           rel_tol=cfg.BA_INTERMEDIATE_REL_TOL)  # BA after each k-th image
-                    since_ba = 0
+                    n_act += slots_by_key[key]
+            e_now.append(now)
+            e_nxt.append(nxt)
+            e_H.append(homos[now, nxt])           # maps next -> now
+            e_active.append(n_act)
+
+        def _bucket(active):
+            b = 8
+            while b < active:
+                b <<= 1
+            return min(b, P)
+
+        groups: list[tuple[int, list[int]]] = []
+        for k in range(len(edges)):
+            b = _bucket(max(e_active[k], 1))
+            if groups and groups[-1][0] == b:
+                groups[-1][1].append(k)
+            else:
+                groups.append((b, [k]))
+        want_iters = stats is not None
+        for b, ks in groups:
+            E = len(ks)
+            pw = np.zeros((E, b))
+            for r_i, k in enumerate(ks):
+                pw[r_i, : e_active[k]] = 1.0
+            prob_b = BAPairProblem(
+                pt_to=jnp.asarray(pt_to_slab[:b]),
+                pt_from=jnp.asarray(pt_from_slab[:b]),
+                w=jnp.asarray(w_slab[:b]),
+                cam_to=jnp.asarray(cam_a[:b]),
+                cam_from=jnp.asarray(cam_b[:b]),
+                swapped=jnp.asarray(pair_swapped[:b]),
+                pair_w=jnp.asarray(pw[0]),        # placeholder; scanned
+            )
+            with ba_ctx(), total_timer(f"ba_lm[{b}]"):
+                import time as _time
+
+                t0 = _time.perf_counter()
+                out, iters = ba_schedule_pairs(
+                    jnp.asarray(params), prob_b, jnp.asarray(root), n,
+                    cfg.LM_LAMBDA,
+                    jnp.asarray([e_now[k] for k in ks], jnp.int32),
+                    jnp.asarray([e_nxt[k] for k in ks], jnp.int32),
+                    jnp.asarray([e_H[k] for k in ks]),
+                    jnp.ones(E, jnp.int32),
+                    jnp.asarray(pw),
+                    device_solver=not cfg.BA_ON_HOST,
+                    adaptive=cfg.BA_ADAPTIVE_LM,
+                    max_iter=inter_iters,
+                    ne_f32=_ne_f32_default(),
+                    patience=cfg.BA_INTERMEDIATE_PATIENCE,
+                    rel_tol=cfg.BA_INTERMEDIATE_REL_TOL,
+                )
+                params = np.array(out)
+                if want_iters:
+                    stats["lm_iters"] = stats.get("lm_iters", 0) + int(iters)
+                    stats["lm_time_s"] = (
+                        stats.get("lm_time_s", 0.0)
+                        + _time.perf_counter() - t0
+                    )
+        n_active = e_active[-1]
+    else:
+        since_ba = 0
+        visited = {root}
+        for now, nxt in edges:
+            # initialize camera[nxt] from camera[now]
+            # (camera_estimator.cc:59-69)
+            K_now = intrinsic(params[now, 0], params[now, 1], params[now, 2])
+            R_now = _np_rod(params[now, 3:6])
+            K_next = intrinsic(params[nxt, 0], 0.0, 0.0)
+            H = homos[now, nxt]                   # maps next -> now
+            Mt = np.linalg.inv(K_now) @ H @ K_next
+            R_next = (R_now.T @ Mt).T
+            params[nxt, 1:3] = 0.0
+            params[nxt, 3:6] = _np_unrod(R_next)
+
+            visited.add(nxt)
+            if cfg.MULTIPASS_BA > 0:
+                for i in sorted(visited - {nxt}):
+                    key = (min(i, nxt), max(i, nxt))
+                    if key in conn:
+                        n_active += slots_by_key[key]
+                        if cfg.MULTIPASS_BA == 2:
+                            run_ba(inter_iters,
+                                   patience=cfg.BA_INTERMEDIATE_PATIENCE,
+                                   rel_tol=cfg.BA_INTERMEDIATE_REL_TOL)
+                if cfg.MULTIPASS_BA == 1:
+                    since_ba += 1
+                    if since_ba >= batch_k or len(visited) == n:
+                        run_ba(inter_iters,
+                               patience=cfg.BA_INTERMEDIATE_PATIENCE,
+                               rel_tol=cfg.BA_INTERMEDIATE_REL_TOL)
+                        since_ba = 0
 
     if cfg.MULTIPASS_BA == 0:                     # camera_estimator.cc:92-99
         # one global BA; the reference adds every pair as add_match(i, j)
         # with j < i, i.e. to = the smaller index = stored orientation
         pair_swapped[:] = False
+        _prob_cache.clear()  # swapped flags changed under the cache
         n_active = P
         run_ba()
     elif inter_iters < LM_MAX_ITER:
