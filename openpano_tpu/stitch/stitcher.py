@@ -73,6 +73,25 @@ def build_pairwise_graph(feats, whs, cfg: Config, key, ordered: bool,
     from ..geometry.ransac import ESTIMATE_MIN_NR_MATCH
 
     n = feats.desc.shape[0]
+    # ---- stage 0: shrink the keypoint axis to the data ----
+    # Features are prefix-packed by compact_indices (valid slots first),
+    # so the [n, MAX_KP_PER_IMAGE, ...] padding can slice down to the
+    # largest actual count (next pow2, floor 256).  The 2-NN distance
+    # matmuls scale with K^2: the 38-image headline carries ~600 real
+    # keypoints in 2048 slots — slicing saves ~16x of the MXU work and
+    # most of the match download bytes.
+    K_cap = feats.desc.shape[1]
+    max_cnt = int(np.asarray(jnp.max(jnp.sum(feats.valid, axis=1))))
+    K_eff = 256
+    while K_eff < max_cnt:
+        K_eff <<= 1
+    K_eff = min(K_eff, K_cap)
+    if K_eff < K_cap:
+        feats = jax.tree_util.tree_map(
+            lambda a: a[:, :K_eff]
+            if a.ndim >= 2 and a.shape[1] == K_cap else a,
+            feats,
+        )
     if ordered:
         # (i, i+1) ring including the head-tail wrap pair, which is
         # allowed to fail (linear_pairwise_match, stitcher.cc:116-136)
