@@ -235,3 +235,125 @@ void wire_grey_res_u8(const uint8_t *rgb, uint8_t *grey, uint8_t *res,
 {
     run_grey(rgb, grey, res, n, nthreads);
 }
+
+typedef struct {
+    const uint8_t *src;
+    uint8_t *packed;
+    int64_t *exc_idx;
+    uint8_t *exc_val;
+    int64_t exc_cap, exc_n;
+    int64_t rows, cols, quart;
+    int64_t row0, row1;
+    int overflow;
+} pack2_job;
+
+/* Encode quarter-row group r: rows (r, r+Q, r+2Q, r+3Q) pack four 2-bit
+ * biased deltas per byte.  Deltas clip to [-2, 1] (bias +2); the rest
+ * ride the exception stream.  Chroma planes (r-grey, b-grey) delta to
+ * |d| <= 1 for ~98% of photographic pixels, so 0.25 B/px + ~1.5%
+ * exceptions beats the 4-bit codec's 0.5 B/px. */
+static void pack2_rows_c(pack2_job *j)
+{
+    const int64_t cols = j->cols, quart = j->quart, rows = j->rows;
+    int64_t n = 0;
+    for (int64_t r = j->row0; r < j->row1; ++r) {
+        uint8_t *p = j->packed + r * cols;
+        const uint8_t *s[4];
+        uint8_t prev[4] = {0, 0, 0, 0};
+        for (int q = 0; q < 4; ++q) {
+            int64_t rr = r + q * quart;
+            s[q] = rr < rows ? j->src + rr * cols : 0;
+        }
+        for (int64_t c = 0; c < cols; ++c) {
+            uint8_t byte = 0;
+            for (int q = 0; q < 4; ++q) {
+                uint8_t nq = 2; /* delta 0 for missing rows */
+                if (s[q]) {
+                    uint8_t v = s[q][c];
+                    uint8_t d = (uint8_t)(v - prev[q]);
+                    prev[q] = v;
+                    nq = (uint8_t)(d + 2);
+                    if (nq > 3) {
+                        if (n >= j->exc_cap) {
+                            j->overflow = 1; j->exc_n = n; return;
+                        }
+                        j->exc_idx[n] = (r + (int64_t)q * quart) * cols + c;
+                        j->exc_val[n] = d;
+                        n++;
+                        nq = 2;
+                    }
+                }
+                byte |= (uint8_t)(nq << (2 * q));
+            }
+            p[c] = byte;
+        }
+    }
+    j->exc_n = n;
+}
+
+static void *pack2_worker(void *arg)
+{
+    pack2_rows_c((pack2_job *)arg);
+    return 0;
+}
+
+/* 2-bit variant of wire_pack4: packed is [(rows+3)/4, cols]; same
+ * exception contract (sorted per thread; host merges). */
+int64_t wire_pack2(const uint8_t *src, uint8_t *packed, int64_t rows,
+                   int64_t cols, int64_t *exc_idx, uint8_t *exc_val,
+                   int64_t exc_cap, int nthreads)
+{
+    int64_t quart = (rows + 3) / 4;
+    if (nthreads < 1) nthreads = 1;
+    if (nthreads > 16) nthreads = 16;
+    if (nthreads > quart) nthreads = (int)(quart > 0 ? quart : 1);
+    pthread_t tids[16];
+    pack2_job jobs[16];
+    int64_t chunk = (quart + nthreads - 1) / nthreads;
+    int64_t cap_per = exc_cap / nthreads;
+    int launched = 0;
+    int nj = 0;
+    for (int t = 0; t < nthreads; ++t) {
+        int64_t r0 = t * chunk;
+        int64_t r1 = r0 + chunk < quart ? r0 + chunk : quart;
+        if (r0 >= r1) break;
+        pack2_job *j = &jobs[nj];
+        j->src = src;
+        j->packed = packed;
+        j->exc_idx = exc_idx + (int64_t)t * cap_per;
+        j->exc_val = exc_val + (int64_t)t * cap_per;
+        j->exc_cap = cap_per;
+        j->exc_n = 0;
+        j->rows = rows;
+        j->cols = cols;
+        j->quart = quart;
+        j->row0 = r0;
+        j->row1 = r1;
+        j->overflow = 0;
+        nj++;
+        if (t == nthreads - 1 || r1 >= quart) {
+            pack2_rows_c(j);
+            break;
+        }
+        if (pthread_create(&tids[launched], 0, pack2_worker, j) != 0) {
+            pack2_rows_c(j);
+            break;
+        }
+        launched++;
+    }
+    for (int t = 0; t < launched; ++t) pthread_join(tids[t], 0);
+    int64_t total = 0;
+    for (int t = 0; t < nj; ++t) {
+        if (jobs[t].overflow) return -1;
+        int64_t cnt = jobs[t].exc_n;
+        int64_t src_off = (int64_t)t * cap_per;
+        if (src_off != total) {
+            for (int64_t i = 0; i < cnt; ++i) {
+                exc_idx[total + i] = exc_idx[src_off + i];
+                exc_val[total + i] = exc_val[src_off + i];
+            }
+        }
+        total += cnt;
+    }
+    return total;
+}

@@ -41,11 +41,12 @@ _ESC = 0xFFFF  # gap escape: advance 65535, write nothing
 class WireStream:
     """Host-side encoded plane set ([rows, cols] u8)."""
 
-    packed: np.ndarray  # [ceil(rows/2), cols] u8
+    packed: np.ndarray  # [ceil(rows/2), cols] u8 (4-bit) / ceil(rows/4) (2-bit)
     gaps: np.ndarray  # [K] u16 (0xFFFF = escape)
     vals: np.ndarray  # [K] u8 (delta byte; 0 for escapes)
     rows: int
     cols: int
+    bits: int = 4
 
     @property
     def nbytes(self) -> int:
@@ -68,16 +69,20 @@ def _gap_code(idx: np.ndarray, val: np.ndarray) -> tuple[np.ndarray, np.ndarray]
     return gaps, vals
 
 
-def encode_plane(plane: np.ndarray) -> WireStream | None:
-    """Encode a [rows, cols] u8 plane.  None when the content is too noisy
-    for the 4-bit budget (caller should upload raw)."""
+def encode_plane(plane: np.ndarray, bits: int = 4) -> WireStream | None:
+    """Encode a [rows, cols] u8 plane.  ``bits=2`` selects the quarter-row
+    2-bit variant (deltas clip to [-2, 1]) — right for planes whose deltas
+    are tiny, e.g. chroma-vs-grey differences (98%+ within [-1, 1]).
+    None when the content is too noisy for the bit budget (caller should
+    upload raw)."""
     rows, cols = plane.shape
-    out = native.wire_pack4(plane)
+    out = (native.wire_pack4 if bits == 4 else native.wire_pack2)(plane)
     if out is None:
         return None
     packed, idx, val = out
     gaps, vals = _gap_code(idx, val)
-    return WireStream(packed=packed, gaps=gaps, vals=vals, rows=rows, cols=cols)
+    return WireStream(packed=packed, gaps=gaps, vals=vals, rows=rows,
+                      cols=cols, bits=bits)
 
 
 def _bucket(n: int) -> int:
@@ -88,11 +93,15 @@ def _bucket(n: int) -> int:
     return b
 
 
-@functools.partial(jax.jit, static_argnames=("rows", "cols"))
-def _decode4(packed, gaps, vals, rows: int, cols: int):
-    lo = packed & 0xF
-    hi = packed >> 4
-    delta = jnp.concatenate([lo, hi], axis=0)[:rows].astype(jnp.int32) - 8
+@functools.partial(jax.jit, static_argnames=("rows", "cols", "bits"))
+def _decode4(packed, gaps, vals, rows: int, cols: int, bits: int = 4):
+    if bits == 4:
+        parts = [packed & 0xF, packed >> 4]
+        bias = 8
+    else:
+        parts = [(packed >> sh) & 3 for sh in (0, 2, 4, 6)]
+        bias = 2
+    delta = jnp.concatenate(parts, axis=0)[:rows].astype(jnp.int32) - bias
     is_esc = gaps == _ESC
     step = jnp.where(is_esc, 65535, gaps.astype(jnp.int32) + 1)
     pos = jnp.cumsum(step) - 1
@@ -119,7 +128,8 @@ def upload_plane(stream: WireStream):
     dp = jax.device_put(stream.packed)
     dg = jax.device_put(gaps)
     dv = jax.device_put(vals)
-    return _decode4(dp, dg, dv, rows=stream.rows, cols=stream.cols)
+    return _decode4(dp, dg, dv, rows=stream.rows, cols=stream.cols,
+                    bits=stream.bits)
 
 
 def upload_u8_rows(plane: np.ndarray):
@@ -175,9 +185,10 @@ class BackgroundUpload:
 
     CHUNK_BYTES = 4 << 20
 
-    def __init__(self, plane, gate_wire: bool = False):
+    def __init__(self, plane, gate_wire: bool = False, bits: int = 4):
         """``plane``: a [rows, cols] u8 array, or a zero-arg callable
         returning one (host-side prep then runs inside the thread too).
+        ``bits``: codec variant (4-bit nibble or 2-bit quarter deltas).
 
         ``gate_wire=True`` holds the WIRE transfer (not the host-side
         encode) until :meth:`release_wire`: the encode overlaps a
@@ -187,6 +198,7 @@ class BackgroundUpload:
         the host-BA window and starves its CPU threads (measured: BA
         iters/s 458 -> 309 on the headline)."""
         self._plane = plane
+        self._bits = bits
         self._result = None
         self._error: BaseException | None = None
         self._wire_gate = threading.Event()
@@ -202,7 +214,7 @@ class BackgroundUpload:
     def _run(self):
         try:
             plane = self._plane() if callable(self._plane) else self._plane
-            stream = encode_plane(plane)
+            stream = encode_plane(plane, bits=self._bits)
             self._wire_gate.wait()
             if stream is None:
                 parts = self._chunked_put(plane)
@@ -212,7 +224,8 @@ class BackgroundUpload:
             gaps, vals = _pad_exceptions(stream)
             dg = jax.device_put(gaps)
             dv = jax.device_put(vals)
-            self._result = ("packed", parts, dg, dv, stream.rows, stream.cols)
+            self._result = ("packed", parts, dg, dv, stream.rows,
+                            stream.cols, stream.bits)
         except BaseException as e:  # surfaced from result()
             self._error = e
         finally:
@@ -242,6 +255,6 @@ class BackgroundUpload:
         r = self._result
         if r[0] == "raw":
             return jnp.concatenate(r[1], axis=0).reshape(r[2])
-        _, parts, dg, dv, rows, cols = r
+        _, parts, dg, dv, rows, cols, bits = r
         packed = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
-        return _decode4(packed, dg, dv, rows=rows, cols=cols)
+        return _decode4(packed, dg, dv, rows=rows, cols=cols, bits=bits)

@@ -94,6 +94,8 @@ def get_lib():
                     ctypes.c_int,
                 ]
                 lib.wire_pack4.restype = ctypes.c_int64
+                lib.wire_pack2.argtypes = lib.wire_pack4.argtypes
+                lib.wire_pack2.restype = ctypes.c_int64
                 lib.wire_grey_u8.argtypes = [
                     ctypes.POINTER(ctypes.c_uint8),
                     ctypes.POINTER(ctypes.c_uint8),
@@ -251,17 +253,30 @@ def wire_pack4(plane: np.ndarray, exc_frac: float = 0.12):
     Returns (packed [ceil(rows/2), cols] u8, exc_idx int64 [K] sorted,
     exc_val u8 [K]) or None when exceptions exceed ``exc_frac`` of elements
     (caller should upload raw) or the native library is unavailable."""
+    return _wire_pack(plane, exc_frac, bits=4)
+
+
+def wire_pack2(plane: np.ndarray, exc_frac: float = 0.12):
+    """2-bit variant of wire_pack4 (deltas clip to [-2, 1], four per
+    byte, quarter-row pairing) — for planes whose deltas are tiny, e.g.
+    chroma-vs-grey differences (98%+ within [-1, 1] on photos)."""
+    return _wire_pack(plane, exc_frac, bits=2)
+
+
+def _wire_pack(plane: np.ndarray, exc_frac: float, bits: int):
     plane = np.ascontiguousarray(plane, dtype=np.uint8)
     rows, cols = plane.shape
     lib = get_lib()
     if lib is None:
-        return _wire_pack4_py(plane)
-    half = (rows + 1) // 2
-    packed = np.empty((half, cols), np.uint8)
+        return _wire_pack4_py(plane) if bits == 4 else _wire_pack2_py(plane)
+    group = 2 if bits == 4 else 4
+    out_rows = (rows + group - 1) // group
+    packed = np.empty((out_rows, cols), np.uint8)
     cap = max(1024, int(plane.size * exc_frac))
     idx = np.empty(cap, np.int64)
     val = np.empty(cap, np.uint8)
-    n = lib.wire_pack4(
+    fn = lib.wire_pack4 if bits == 4 else lib.wire_pack2
+    n = fn(
         plane.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         rows, cols,
@@ -274,6 +289,27 @@ def wire_pack4(plane: np.ndarray, exc_frac: float = 0.12):
     idx, val = idx[:n], val[:n]
     order = np.argsort(idx, kind="stable")
     return packed, idx[order], val[order]
+
+
+def _wire_pack2_py(plane: np.ndarray):
+    """Numpy fallback for wire_pack2 (same format, slower)."""
+    rows, cols = plane.shape
+    x = plane.astype(np.int16)
+    d = x.copy()
+    d[:, 1:] = x[:, 1:] - x[:, :-1]
+    d8 = (d & 0xFF).astype(np.uint8)
+    s = ((d8.astype(np.int16) + 2) & 0xFF)
+    ok = s < 4
+    nib = np.where(ok, s, 2).astype(np.uint8)
+    quart = (rows + 3) // 4
+    if quart * 4 != rows:
+        nib = np.concatenate(
+            [nib, np.full((quart * 4 - rows, cols), 2, np.uint8)], axis=0)
+    packed = (nib[:quart] | (nib[quart:2*quart] << 2)
+              | (nib[2*quart:3*quart] << 4) | (nib[3*quart:] << 6))
+    idx = np.flatnonzero(~ok.reshape(-1)).astype(np.int64)
+    val = d8.reshape(-1)[idx]
+    return packed.astype(np.uint8), idx, val
 
 
 def _wire_pack4_py(plane: np.ndarray):

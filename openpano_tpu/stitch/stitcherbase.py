@@ -304,7 +304,10 @@ def upload_and_compute_features(host_u8: np.ndarray, cfg: Config,
         # the encode thread starts now (host cores are idle during the
         # device-bound SIFT window) but its wire chunks hold until the
         # stitcher releases them after the feature fetch
-        bg = wirecodec.BackgroundUpload(_chroma, gate_wire=True)
+        # 2-bit codec: chroma deltas are tiny (98%+ within [-1,1]) so
+        # the quarter-row variant halves the stream again (~43 -> ~25 MB
+        # on the headline)
+        bg = wirecodec.BackgroundUpload(_chroma, gate_wire=True, bits=2)
 
     # pipeline the grey wire with the SIFT compute in ~GREY_CHUNK-image
     # chunks: the async put of chunk k+1 rides the wire while the device

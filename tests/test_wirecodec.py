@@ -135,3 +135,23 @@ class TestPack2:
         plane = rng.integers(0, 3, (rows, 37)).astype(np.uint8)
         dec = np.asarray(wirecodec.upload_2bit_rows(plane))
         assert np.array_equal(dec, plane)
+
+
+class TestPack2Codec:
+    @pytest.mark.parametrize("rows", [64, 63, 62, 61])
+    def test_lossless(self, rows):
+        rng = np.random.default_rng(rows + 500)
+        base = (np.cumsum(rng.integers(-1, 2, (rows, 97)), axis=1)
+                % 256).astype(np.uint8)
+        base[rng.random((rows, 97)) < 0.02] = rng.integers(0, 256)
+        stream = wirecodec.encode_plane(base, bits=2)
+        assert stream is not None and stream.bits == 2
+        dec = np.asarray(wirecodec.upload_plane(stream))
+        assert np.array_equal(dec, base)
+
+    def test_background_upload_2bit(self):
+        rng = np.random.default_rng(77)
+        base = (np.cumsum(rng.integers(-1, 2, (300, 200)), axis=1)
+                % 256).astype(np.uint8)
+        up = wirecodec.BackgroundUpload(base, bits=2)
+        assert np.array_equal(np.asarray(up.result()), base)
