@@ -20,36 +20,42 @@ def rgb2grey(img: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean(img, axis=-1)
 
 
-def resize(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
-    """Bilinear resize with half-pixel centers and edge clamping, matching the
-    reference's resize_bilinear (imgproc.cc:22-80). img: [H, W, C] or [H, W]."""
-    h, w = img.shape[0], img.shape[1]
-    # destination pixel centers mapped into source coordinates
-    ry = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) * (h / out_h) - 0.5
-    rx = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) * (w / out_w) - 0.5
-    sy = jnp.floor(ry)
-    sx = jnp.floor(rx)
-    fy = ry - sy
-    fx = rx - sx
-    # clamp like the reference: sx<0 -> (0, 0); sx+1>=src -> (src-2, 1)
-    fy = jnp.where(sy < 0, 0.0, jnp.where(sy + 1 >= h, 1.0, fy))
-    fx = jnp.where(sx < 0, 0.0, jnp.where(sx + 1 >= w, 1.0, fx))
-    sy = jnp.clip(sy, 0, h - 2).astype(jnp.int32)
-    sx = jnp.clip(sx, 0, w - 2).astype(jnp.int32)
+def _interp_matrix(out_n: int, n: int) -> jnp.ndarray:
+    """[out_n, n] bilinear interpolation weights: half-pixel centers with
+    the reference's edge clamping (sx<0 -> (0,0); sx+1>=n -> (n-2,1))."""
+    r = (jnp.arange(out_n, dtype=jnp.float32) + 0.5) * (n / out_n) - 0.5
+    s = jnp.floor(r)
+    f = r - s
+    f = jnp.where(s < 0, 0.0, jnp.where(s + 1 >= n, 1.0, f))
+    s = jnp.clip(s, 0, n - 2).astype(jnp.int32)
+    rows = jnp.arange(out_n)
+    M = jnp.zeros((out_n, n), jnp.float32)
+    return M.at[rows, s].add(1.0 - f).at[rows, s + 1].add(f)
 
-    row0 = jnp.take(img, sy, axis=0)
-    row1 = jnp.take(img, sy + 1, axis=0)
-    p00 = jnp.take(row0, sx, axis=1)
-    p01 = jnp.take(row0, sx + 1, axis=1)
-    p10 = jnp.take(row1, sx, axis=1)
-    p11 = jnp.take(row1, sx + 1, axis=1)
+
+def resize(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """Bilinear resize with half-pixel centers and edge clamping, matching
+    the reference's resize_bilinear (imgproc.cc:22-80).
+    img: [H, W, C] or [H, W].
+
+    TPU-native formulation: separable interpolation as two dense MATMULS
+    (each weight matrix has 2 nonzeros/row; the MXU eats the zeros) —
+    same two-stage lerp arithmetic as a gather-based bilinear, but the
+    gathers the r1-r3 version issued were the single hottest op of the
+    SIFT stage while the MXU idled."""
+    import jax
+
+    h, w = img.shape[0], img.shape[1]
+    Ry = _interp_matrix(out_h, h)          # [out_h, h]
+    Rx = _interp_matrix(out_w, w)          # [out_w, w]
+    # HIGHEST precision: the MXU's default bf16 rounding would perturb
+    # the SIFT input by ~4e-3 — far above the DoG thresholds
+    P = jax.lax.Precision.HIGHEST
     if img.ndim == 3:
-        fy = fy[:, None, None]
-        fx = fx[None, :, None]
-    else:
-        fy = fy[:, None]
-        fx = fx[None, :]
-    return (1 - fy) * ((1 - fx) * p00 + fx * p01) + fy * ((1 - fx) * p10 + fx * p11)
+        # x-interp then y-interp, channels along the batch of the matmul
+        tmp = jnp.einsum("hwc,ow->hoc", img, Rx, precision=P)
+        return jnp.einsum("hoc,ph->poc", tmp, Ry, precision=P)
+    return jnp.matmul(jnp.matmul(Ry, img, precision=P), Rx.T, precision=P)
 
 
 def bilinear_prologue(h: int, w: int, y: jnp.ndarray, x: jnp.ndarray):
