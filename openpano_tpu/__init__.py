@@ -18,7 +18,12 @@ _jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: TPU compiles of the batched pipeline are
 # expensive (remote compile service); cache them across processes.
-if not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+# OPENPANO_NO_COMPILE_CACHE=1 opts out — the test suite sets it because
+# XLA:CPU's executable serialize can CHECK-abort on some programs
+# (observed r4 on the heterogeneous-bucket feature executable), and a
+# SIGABRT mid-suite is worse than recompiling.
+if not _os.environ.get("JAX_COMPILATION_CACHE_DIR") \
+        and _os.environ.get("OPENPANO_NO_COMPILE_CACHE", "") != "1":
     _cache = _os.path.join(_os.path.expanduser("~"), ".cache", "openpano_tpu_jax")
     _os.makedirs(_cache, exist_ok=True)
     _jax.config.update("jax_compilation_cache_dir", _cache)

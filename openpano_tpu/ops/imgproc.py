@@ -22,15 +22,23 @@ def rgb2grey(img: jnp.ndarray) -> jnp.ndarray:
 
 def _interp_matrix(out_n: int, n: int) -> jnp.ndarray:
     """[out_n, n] bilinear interpolation weights: half-pixel centers with
-    the reference's edge clamping (sx<0 -> (0,0); sx+1>=n -> (n-2,1))."""
-    r = (jnp.arange(out_n, dtype=jnp.float32) + 0.5) * (n / out_n) - 0.5
-    s = jnp.floor(r)
+    the reference's edge clamping (sx<0 -> (0,0); sx+1>=n -> (n-2,1)).
+
+    Built in NUMPY at trace time (shapes are static) and embedded as a
+    constant: a traced scatter here would make XLA constant-fold a
+    [out_n, n] scatter at COMPILE time for every distinct resize shape in
+    the program — slow, memory-hungry, and implicated in an XLA:CPU
+    compiler segfault mid-suite (r4)."""
+    r = (np.arange(out_n, dtype=np.float64) + 0.5) * (n / out_n) - 0.5
+    s = np.floor(r)
     f = r - s
-    f = jnp.where(s < 0, 0.0, jnp.where(s + 1 >= n, 1.0, f))
-    s = jnp.clip(s, 0, n - 2).astype(jnp.int32)
-    rows = jnp.arange(out_n)
-    M = jnp.zeros((out_n, n), jnp.float32)
-    return M.at[rows, s].add(1.0 - f).at[rows, s + 1].add(f)
+    f = np.where(s < 0, 0.0, np.where(s + 1 >= n, 1.0, f))
+    s = np.clip(s, 0, n - 2).astype(np.int64)
+    rows = np.arange(out_n)
+    M = np.zeros((out_n, n), np.float32)
+    np.add.at(M, (rows, s), (1.0 - f).astype(np.float32))
+    np.add.at(M, (rows, s + 1), f.astype(np.float32))
+    return jnp.asarray(M)
 
 
 def resize(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
@@ -38,13 +46,21 @@ def resize(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     the reference's resize_bilinear (imgproc.cc:22-80).
     img: [H, W, C] or [H, W].
 
-    TPU-native formulation: separable interpolation as two dense MATMULS
-    (each weight matrix has 2 nonzeros/row; the MXU eats the zeros) —
-    same two-stage lerp arithmetic as a gather-based bilinear, but the
-    gathers the r1-r3 version issued were the single hottest op of the
-    SIFT stage while the MXU idled."""
+    Two equivalent formulations (same two-stage lerp arithmetic,
+    ~1e-7-level fp differences):
+
+    - TPU: separable interpolation as two dense MATMULS (each weight
+      matrix has 2 nonzeros/row; the MXU eats the zeros) — the gathers
+      the r1-r3 version issued were the single hottest op of the SIFT
+      chunk (77 -> 50 ms per 2-image dispatch) while the MXU idled.
+    - CPU (and everything else): the gather lerp.  The matmul program's
+      embedded weight constants segfault the XLA:CPU compiler late in
+      the test suite (order-dependent, observed twice at different
+      tests, r4) — and gathers are what a CPU wants anyway."""
     import jax
 
+    if jax.default_backend() != "tpu":
+        return _resize_gather(img, out_h, out_w)
     h, w = img.shape[0], img.shape[1]
     Ry = _interp_matrix(out_h, h)          # [out_h, h]
     Rx = _interp_matrix(out_w, w)          # [out_w, w]
@@ -56,6 +72,35 @@ def resize(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
         tmp = jnp.einsum("hwc,ow->hoc", img, Rx, precision=P)
         return jnp.einsum("hoc,ph->poc", tmp, Ry, precision=P)
     return jnp.matmul(jnp.matmul(Ry, img, precision=P), Rx.T, precision=P)
+
+
+def _resize_gather(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """Gather-lerp bilinear resize (the r1-r3 formulation)."""
+    h, w = img.shape[0], img.shape[1]
+    ry = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) * (h / out_h) - 0.5
+    rx = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) * (w / out_w) - 0.5
+    sy = jnp.floor(ry)
+    sx = jnp.floor(rx)
+    fy = ry - sy
+    fx = rx - sx
+    fy = jnp.where(sy < 0, 0.0, jnp.where(sy + 1 >= h, 1.0, fy))
+    fx = jnp.where(sx < 0, 0.0, jnp.where(sx + 1 >= w, 1.0, fx))
+    sy = jnp.clip(sy, 0, h - 2).astype(jnp.int32)
+    sx = jnp.clip(sx, 0, w - 2).astype(jnp.int32)
+    row0 = jnp.take(img, sy, axis=0)
+    row1 = jnp.take(img, sy + 1, axis=0)
+    p00 = jnp.take(row0, sx, axis=1)
+    p01 = jnp.take(row0, sx + 1, axis=1)
+    p10 = jnp.take(row1, sx, axis=1)
+    p11 = jnp.take(row1, sx + 1, axis=1)
+    if img.ndim == 3:
+        fy = fy[:, None, None]
+        fx = fx[None, :, None]
+    else:
+        fy = fy[:, None]
+        fx = fx[None, :]
+    return (1 - fy) * ((1 - fx) * p00 + fx * p01) \
+        + fy * ((1 - fx) * p10 + fx * p11)
 
 
 def bilinear_prologue(h: int, w: int, y: jnp.ndarray, x: jnp.ndarray):
