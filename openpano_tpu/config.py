@@ -113,10 +113,12 @@ class Config:
     # keeping the next camera initialization healthy); a final run always
     # polishes at the full LM_MAX_ITER=100 depth.  The reference runs every
     # pass to 100 (incremental_bundle_adjuster.cc:24) — set 100 to match.
-    # Measured on the 38-image headline (r4 sweep, patience 1): 8 -> 2.2 px
-    # mean reprojection vs ground truth, 15 -> 1.69, 20 -> 1.61 at the SAME
-    # total iteration count as (15, patience 5) — deeper intermediates with
-    # an earlier plateau stop beat shallow ones that wait out 5 rejections.
+    # Measured on the 38-image headline (r4 sweeps, patience 1): 8 -> 2.2 px
+    # mean reprojection vs ground truth, 15 -> 1.69, 20 -> 1.09, 25 -> 0.99
+    # — deeper intermediates with an earlier plateau stop beat shallow
+    # ones that wait out 5 rejections.  Default 20 keeps the headline
+    # wall (~25% fewer LM iterations than 25) while sitting 2.3x inside
+    # the 2.5 px quality gate; set 25-30 when accuracy outranks latency.
     BA_INTERMEDIATE_ITERS: int = 20
     # Plateau patience (consecutive non-improving LM steps before stopping)
     # for the INTERMEDIATE passes only; the final polish uses the
