@@ -138,8 +138,8 @@ int64_t wire_pack4(const uint8_t *src, uint8_t *packed, int64_t rows,
             break;
         }
         if (pthread_create(&tids[launched], 0, pack_worker, j) != 0) {
-            pack_rows(j);
-            break;
+            pack_rows(j); /* inline fallback; keep going so no range is dropped */
+            continue;
         }
         launched++;
     }
@@ -210,8 +210,8 @@ static void run_grey(const uint8_t *rgb, uint8_t *grey, uint8_t *res,
             break;
         }
         if (pthread_create(&tids[launched], 0, grey_worker, &jobs[t]) != 0) {
-            grey_worker(&jobs[t]);
-            break;
+            grey_worker(&jobs[t]); /* inline fallback; keep going */
+            continue;
         }
         launched++;
     }
@@ -336,8 +336,8 @@ int64_t wire_pack2(const uint8_t *src, uint8_t *packed, int64_t rows,
             break;
         }
         if (pthread_create(&tids[launched], 0, pack2_worker, j) != 0) {
-            pack2_rows_c(j);
-            break;
+            pack2_rows_c(j); /* inline fallback; keep going */
+            continue;
         }
         launched++;
     }
@@ -356,4 +356,131 @@ int64_t wire_pack2(const uint8_t *src, uint8_t *packed, int64_t rows,
         total += cnt;
     }
     return total;
+}
+
+/* ---- download direction: device-encoded strips, host C decode ----
+ *
+ * The blended canvas crosses the same ~30-55 MB/s wire device->host, so it
+ * gets the same treatment as uploads: the device packs 4-bit (or 2-bit)
+ * row-deltas with a sparse exception stream (pure XLA ops — see
+ * openpano_tpu/io/wirecodec.py:encode_plane_device), the host decodes here.
+ *
+ * Exceptions arrive as (absolute flat index, delta byte) pairs; they are
+ * applied to the delta plane BEFORE the per-row prefix sum.
+ *
+ * Reference analog: the blender's canvas write is a free local store
+ * (src/stitch/blender.cc:77-94); on this transport the canvas download IS
+ * that write and is the dominant blend cost without coding. */
+
+typedef struct {
+    const uint8_t *packed;
+    uint8_t *out;        /* [rows, cols] delta bytes, then pixels in place */
+    int64_t rows, cols, group_rows; /* group_rows = ceil(rows/group) */
+    int64_t r0, r1;      /* packed-row range (phase 1) or out-row range (3) */
+    int bits;
+} unpack_job;
+
+static void unpack_phase1(unpack_job *j)
+{
+    const int64_t cols = j->cols, gr = j->group_rows, rows = j->rows;
+    if (j->bits == 4) {
+        for (int64_t r = j->r0; r < j->r1; ++r) {
+            const uint8_t *p = j->packed + r * cols;
+            uint8_t *lo = j->out + r * cols;
+            uint8_t *hi = (r + gr < rows) ? j->out + (r + gr) * cols : 0;
+            for (int64_t c = 0; c < cols; ++c) {
+                uint8_t b = p[c];
+                lo[c] = (uint8_t)((b & 0xF) - 8);
+                if (hi) hi[c] = (uint8_t)((b >> 4) - 8);
+            }
+        }
+    } else {
+        for (int64_t r = j->r0; r < j->r1; ++r) {
+            const uint8_t *p = j->packed + r * cols;
+            uint8_t *o[4];
+            for (int q = 0; q < 4; ++q) {
+                int64_t rr = r + q * gr;
+                o[q] = rr < rows ? j->out + rr * cols : 0;
+            }
+            for (int64_t c = 0; c < cols; ++c) {
+                uint8_t b = p[c];
+                if (o[0]) o[0][c] = (uint8_t)((b & 3) - 2);
+                if (o[1]) o[1][c] = (uint8_t)(((b >> 2) & 3) - 2);
+                if (o[2]) o[2][c] = (uint8_t)(((b >> 4) & 3) - 2);
+                if (o[3]) o[3][c] = (uint8_t)(((b >> 6) & 3) - 2);
+            }
+        }
+    }
+}
+
+static void unpack_phase3(unpack_job *j)
+{
+    const int64_t cols = j->cols;
+    for (int64_t r = j->r0; r < j->r1; ++r) {
+        uint8_t *row = j->out + r * cols;
+        uint8_t acc = 0;
+        for (int64_t c = 0; c < cols; ++c) {
+            acc = (uint8_t)(acc + row[c]);
+            row[c] = acc;
+        }
+    }
+}
+
+static void *unpack_worker1(void *arg) { unpack_phase1((unpack_job *)arg); return 0; }
+static void *unpack_worker3(void *arg) { unpack_phase3((unpack_job *)arg); return 0; }
+
+static void run_unpack_phase(unpack_job *tmpl, int64_t total_rows,
+                             int phase, int nthreads)
+{
+    if (nthreads < 1) nthreads = 1;
+    if (nthreads > 16) nthreads = 16;
+    if (nthreads > total_rows) nthreads = (int)(total_rows > 0 ? total_rows : 1);
+    pthread_t tids[16];
+    unpack_job jobs[16];
+    int64_t chunk = (total_rows + nthreads - 1) / nthreads;
+    int launched = 0;
+    void *(*worker)(void *) = phase == 1 ? unpack_worker1 : unpack_worker3;
+    for (int t = 0; t < nthreads; ++t) {
+        int64_t r0 = t * chunk;
+        int64_t r1 = r0 + chunk < total_rows ? r0 + chunk : total_rows;
+        if (r0 >= r1) break;
+        jobs[t] = *tmpl;
+        jobs[t].r0 = r0;
+        jobs[t].r1 = r1;
+        if (t == nthreads - 1 || r1 >= total_rows) {
+            if (phase == 1) unpack_phase1(&jobs[t]); else unpack_phase3(&jobs[t]);
+            break;
+        }
+        if (pthread_create(&tids[launched], 0, worker, &jobs[t]) != 0) {
+            if (phase == 1) unpack_phase1(&jobs[t]); else unpack_phase3(&jobs[t]);
+            continue; /* inline fallback; keep going */
+        }
+        launched++;
+    }
+    for (int t = 0; t < launched; ++t) pthread_join(tids[t], 0);
+}
+
+/* Decode a device-packed plane: packed [ceil(rows/group), cols] (group = 2
+ * for bits=4, 4 for bits=2), exceptions as absolute flat indices + delta
+ * bytes, into out [rows, cols] u8 pixels. */
+void wire_unpack(const uint8_t *packed, int64_t rows, int64_t cols,
+                 const int64_t *exc_idx, const uint8_t *exc_val,
+                 int64_t n_exc, uint8_t *out, int bits, int nthreads)
+{
+    int group = bits == 4 ? 2 : 4;
+    int64_t gr = (rows + group - 1) / group;
+    unpack_job tmpl;
+    tmpl.packed = packed;
+    tmpl.out = out;
+    tmpl.rows = rows;
+    tmpl.cols = cols;
+    tmpl.group_rows = gr;
+    tmpl.bits = bits;
+    run_unpack_phase(&tmpl, gr, 1, nthreads);
+    const int64_t total = rows * cols;
+    for (int64_t i = 0; i < n_exc; ++i) {
+        int64_t k = exc_idx[i];
+        if (k >= 0 && k < total) out[k] = exc_val[i];
+    }
+    run_unpack_phase(&tmpl, rows, 3, nthreads);
 }

@@ -258,3 +258,146 @@ class BackgroundUpload:
         _, parts, dg, dv, rows, cols, bits = r
         packed = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
         return _decode4(packed, dg, dv, rows=rows, cols=cols, bits=bits)
+
+
+# ---- download direction: device-side encode, host C decode ----
+#
+# The blended canvas crosses the same slow wire device->host (byte-bound,
+# ~30-55 MB/s measured r4/r5), so strips get the mirror treatment of the
+# upload codec: pack 4-bit row-deltas + sparse exceptions ON DEVICE (pure
+# XLA: subtract, compare, cumsum-compact, scatter into a fixed-cap buffer),
+# download ~quarter the bytes, decode in threaded C (native/wire_codec.c
+# wire_unpack).  Reference analog: the blender's canvas write is a free
+# local store (src/stitch/blender.cc:77-94); on this transport the download
+# IS that write.
+
+
+# planes bigger than this can't pack (idx << 8 | val) into a positive i32;
+# CodedFetch row-chunks them
+_MAX_PLANE = 1 << 23
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "bits", "inline_exc"))
+def encode_plane_device(plane, cap: int, bits: int = 4,
+                        inline_exc: int = 0):
+    """Encode a device [R, C] u8 plane (R*C < 2**23) into one i32 wire
+    buffer + a sorted exception prefix.
+
+    Returns (wire i32, exc i32 [cap]) where ``wire`` is the bitcast
+    packed-nibble plane with the first ``inline_exc`` exception entries
+    and then the exception count appended (so on typical content — canvas
+    strips measure 0.6-1.5% exceptions — nibbles, exceptions, and count
+    all ride ONE async download with no extra wire roundtrip), and
+    ``exc[k] = (flat_idx << 8) | delta_byte`` for the k-th exception in
+    flat order (sort-compacted: measured 11 ms vs 29 ms for the
+    scatter-compaction on a 5.6M plane, and cap-independent vs 25 ms+ for
+    searchsorted gathers).  n > inline_exc needs a second fetch from
+    ``exc``; n > cap means even that is truncated — caller falls back to
+    a raw download."""
+    bias, lim, group = (8, 16, 2) if bits == 4 else (2, 4, 4)
+    R, C = plane.shape
+    x = plane.astype(jnp.int32)
+    d = jnp.concatenate([x[:, :1], (x[:, 1:] - x[:, :-1]) & 0xFF], axis=1)
+    s = (d + bias) & 0xFF
+    exc = s >= lim
+    nib = jnp.where(exc, bias, s)
+    gl = (R + group - 1) // group
+    nib = jnp.pad(nib, ((0, gl * group - R), (0, 0)), constant_values=bias)
+    if bits == 4:
+        packed = nib[:gl] | (nib[gl:] << 4)
+    else:
+        packed = (nib[:gl] | (nib[gl:2 * gl] << 2) | (nib[2 * gl:3 * gl] << 4)
+                  | (nib[3 * gl:] << 6))
+    flat = exc.ravel()
+    # dtype pinned: a bare jnp.sum promotes to int64 here, silently turning
+    # the concatenated wire into 8-byte elements and scrambling the decode
+    n = jnp.sum(flat, dtype=jnp.int32)
+    iota = jnp.arange(flat.size, dtype=jnp.int32)
+    key = jnp.where(flat, (iota << 8) | (d.ravel() & 0xFF),
+                    jnp.int32(2**31 - 1))
+    exc_buf = jax.lax.sort(key)[:cap]
+    # bitcast packed bytes to i32, append the inline exception prefix and
+    # n: one download carries everything on typical content
+    pflat = packed.astype(jnp.uint8).ravel()
+    pad = (-pflat.size) % 4
+    pflat = jnp.pad(pflat, (0, pad))
+    wire = jax.lax.bitcast_convert_type(pflat.reshape(-1, 4), jnp.int32)
+    tail = [exc_buf[:inline_exc], n[None]] if inline_exc else [n[None]]
+    return jnp.concatenate([wire] + tail), exc_buf
+
+
+def _exc_bucket(n: int) -> int:
+    """Round the exception count up so slice shapes (and their compiled
+    fetch programs) stay few."""
+    b = 4096
+    while b < n:
+        b *= 2
+    return b
+
+
+class _CodedPlaneFetch:
+    """One plane's async coded download (R*C < 2**23)."""
+
+    def __init__(self, plane, cap: int, bits: int):
+        self._plane = plane
+        R, C = plane.shape
+        self._rows, self._cols = int(R), int(C)
+        # a slice can't exceed the key array, so cap/inline clamp to the
+        # element count or the wire layout would shift on tiny planes
+        self._cap = min(int(cap), int(plane.size))
+        self._bits = bits
+        # inline exception budget: 2% of elements — covers the measured
+        # canvas-strip rates (0.6-1.5%) so the common case is ONE transfer
+        self._inline = min(self._cap, max(8192, int(plane.size) // 48))
+        self._wire, self._exc = encode_plane_device(
+            plane, cap=self._cap, bits=bits, inline_exc=self._inline)
+        self._wire.copy_to_host_async()
+
+    def wait(self) -> np.ndarray:
+        wire = np.asarray(self._wire)
+        n = int(wire[-1])
+        if n > self._cap:  # content defeated the nibble budget
+            from .transfer import fetch
+
+            out = fetch(self._plane)
+            self._plane = self._wire = self._exc = None
+            return out
+        if n <= self._inline:
+            exc = wire[-1 - self._inline: -1][:n]
+        else:  # rare: exception tail beyond the inline prefix
+            k = min(_exc_bucket(n), self._cap)
+            exc = np.asarray(self._exc[:k])[:n]
+        packed = np.ascontiguousarray(
+            wire[: wire.size - 1 - self._inline]).view(np.uint8)
+        group = 2 if self._bits == 4 else 4
+        gl = (self._rows + group - 1) // group
+        packed = packed[: gl * self._cols].reshape(gl, self._cols)
+        idx = (exc >> 8).astype(np.int64)
+        val = (exc & 0xFF).astype(np.uint8)
+        self._plane = self._wire = self._exc = None
+        return native.wire_unpack(packed, self._rows, self._cols, idx, val,
+                                  bits=self._bits)
+
+
+class CodedFetch:
+    """Async device->host download of a u8 [R, C] plane via the download
+    codec: the device packs 4-bit row-deltas + a sort-compacted exception
+    stream (encode_plane_device), ONE async transfer carries nibbles +
+    count, and ``wait()`` decodes in threaded C (wire_unpack).  Oversized
+    planes are row-chunked so exception indices fit the i32 packing;
+    noisy planes fall back to a raw fetch per chunk."""
+
+    def __init__(self, plane, cap: int | None = None, bits: int = 4):
+        R, C = int(plane.shape[0]), int(plane.shape[1])
+        rows_per = max(1, min(R, _MAX_PLANE // max(C, 1)))
+        self._parts = []
+        for lo in range(0, R, rows_per):
+            chunk = plane[lo: lo + rows_per]
+            ccap = cap if cap is not None else max(
+                4096, int(chunk.shape[0] * C) // 12)
+            self._parts.append(_CodedPlaneFetch(chunk, cap=ccap, bits=bits))
+
+    def wait(self) -> np.ndarray:
+        out = [p.wait() for p in self._parts]
+        self._parts = []
+        return out[0] if len(out) == 1 else np.concatenate(out, axis=0)

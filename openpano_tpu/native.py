@@ -111,6 +111,18 @@ def get_lib():
                     ctypes.c_int,
                 ]
                 lib.wire_grey_res_u8.restype = None
+                lib.wire_unpack.argtypes = [
+                    ctypes.POINTER(ctypes.c_uint8),
+                    ctypes.c_int64,
+                    ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_int64),
+                    ctypes.POINTER(ctypes.c_uint8),
+                    ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_uint8),
+                    ctypes.c_int,
+                    ctypes.c_int,
+                ]
+                lib.wire_unpack.restype = None
                 _lib = lib
             else:
                 _load_failed = True
@@ -372,3 +384,40 @@ def wire_grey_res_u8(rgb: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     grey = ((2 * s + 3) // 6).astype(np.int32)
     res = (s - 3 * grey + 1).astype(np.uint8)
     return grey.astype(np.uint8).reshape(shape), res.reshape(shape)
+
+
+def wire_unpack(packed: np.ndarray, rows: int, cols: int,
+                exc_idx: np.ndarray, exc_val: np.ndarray,
+                bits: int = 4) -> np.ndarray:
+    """Decode a device-packed delta plane (download direction of the wire
+    codec — see io/wirecodec.py encode_plane_device) back to [rows, cols]
+    u8 pixels: unpack nibbles, apply exceptions, prefix-sum rows mod 256.
+    Threaded C when available; numpy fallback."""
+    packed = np.ascontiguousarray(packed, dtype=np.uint8)
+    exc_idx = np.ascontiguousarray(exc_idx, dtype=np.int64)
+    exc_val = np.ascontiguousarray(exc_val, dtype=np.uint8)
+    lib = get_lib()
+    if lib is not None:
+        out = np.empty((rows, cols), np.uint8)
+        lib.wire_unpack(
+            packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            rows, cols,
+            exc_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            exc_val.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            exc_idx.size,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            bits, _nthreads(),
+        )
+        return out
+    group = 2 if bits == 4 else 4
+    bias = 8 if bits == 4 else 2
+    if bits == 4:
+        nib = np.concatenate([packed & 0xF, packed >> 4], axis=0)
+    else:
+        nib = np.concatenate(
+            [(packed >> s) & 3 for s in (0, 2, 4, 6)], axis=0)
+    delta = (nib[:rows].astype(np.int64) - bias) & 0xFF
+    flat = delta.reshape(-1)
+    flat[exc_idx] = exc_val
+    return (np.cumsum(flat.reshape(rows, cols), axis=1) & 0xFF).astype(
+        np.uint8)

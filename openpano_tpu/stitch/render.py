@@ -554,6 +554,44 @@ def _blend_scan(color_acc, w_acc, imgs, homo_invs, whs, item_idx, ranges,
 
 
 @functools.partial(jax.jit, static_argnames=("out_h", "SW"))
+def _strip_planes_u8(color_acc, w_acc, start, out_h: int, SW: int):
+    """Finalized column strip [start, start+SW) -> download-codec planes
+    [4*out_h, SW] u8: (G, R-G, B-G, A) stacked along rows.  The chroma
+    differences (mod 256) delta-code much tighter than raw R/B (classic
+    lossless color decorrelation), the alpha plane is near-free, and row
+    stacking is safe because the codec's deltas never cross rows.  Exact
+    inverse: R = G + (R-G), B = G + (B-G) mod 256
+    (_planes_to_rgba)."""
+    zero = jnp.int32(0)
+    c = jax.lax.dynamic_slice(color_acc, (zero, start, zero),
+                              (out_h, SW, 3))
+    w = jax.lax.dynamic_slice(w_acc, (zero, start), (out_h, SW))
+    has = w > 0
+    out = c / jnp.where(has, w, 1.0)[..., None]
+    u8 = jnp.round(jnp.clip(out, 0.0, 1.0) * 255.0).astype(jnp.int32)
+    rgb = jnp.where(has[..., None], u8, 255)
+    g = rgb[..., 1]
+    rg = (rgb[..., 0] - g) & 0xFF
+    bg = (rgb[..., 2] - g) & 0xFF
+    a = has.astype(jnp.int32)
+    return jnp.concatenate([g, rg, bg, a], axis=0).astype(jnp.uint8)
+
+
+def _planes_to_rgba(planes: np.ndarray, out_h: int) -> np.ndarray:
+    """Inverse of _strip_planes_u8 on host: [4*out_h, SW] u8 -> RGBA u8."""
+    g = planes[:out_h]
+    rg = planes[out_h: 2 * out_h]
+    bg = planes[2 * out_h: 3 * out_h]
+    a = planes[3 * out_h:]
+    rgba = np.empty((out_h, planes.shape[1], 4), np.uint8)
+    rgba[..., 0] = g + rg  # u8 wraparound == mod 256
+    rgba[..., 1] = g
+    rgba[..., 2] = g + bg
+    rgba[..., 3] = a
+    return rgba
+
+
+@functools.partial(jax.jit, static_argnames=("out_h", "SW"))
 def _strip_u8_i32(color_acc, w_acc, start, out_h: int, SW: int):
     """Finalized column strip [start, start+SW) -> packed RGBA-as-int32
     [out_h, SW] (normalize, u8-convert per _f32_to_u8_rgba semantics,
@@ -605,6 +643,8 @@ def blend_linear_stream_u8(imgs: jnp.ndarray, plan: RenderPlan,
     proj_min = jnp.asarray(plan.proj_min, jnp.float32)
     resolution = jnp.asarray(plan.resolution, jnp.float32)
 
+    coded = _os.environ.get("OPENPANO_CODED_DOWNLOAD", "1") == "1"
+    parts: list = [None] * G
     strips = []
     for g in range(G):
         color_acc, w_acc = _blend_group(
@@ -613,14 +653,29 @@ def blend_linear_stream_u8(imgs: jnp.ndarray, plan: RenderPlan,
             jnp.asarray(g_org[g]), proj_min, resolution,
             plan.proj, ordered, TH, TW,
         )
-        strip = _strip_u8_i32(
-            color_acc, w_acc, jnp.int32(g * SW), plan.out_h, SW
-        )
-        strip.copy_to_host_async()
-        strips.append(strip)
+        if coded:
+            from ..io.wirecodec import CodedFetch
 
-    parts = [np.asarray(s).view(np.uint8).reshape(plan.out_h, SW, 4)
-             for s in strips]
+            planes = _strip_planes_u8(
+                color_acc, w_acc, jnp.int32(g * SW), plan.out_h, SW
+            )
+            strips.append(CodedFetch(planes))
+        else:
+            strip = _strip_u8_i32(
+                color_acc, w_acc, jnp.int32(g * SW), plan.out_h, SW
+            )
+            strip.copy_to_host_async()
+            strips.append(strip)
+
+    if coded:
+        # drain in band order AFTER the full dispatch: strip g's wire
+        # (nibbles + inline exceptions + count in ONE transfer) arrives
+        # while later bands compute; each C decode overlaps the next
+        # strip's wire flight
+        parts = [_planes_to_rgba(s.wait(), plan.out_h) for s in strips]
+    else:
+        parts = [np.asarray(s).view(np.uint8).reshape(plan.out_h, SW, 4)
+                 for s in strips]
     return np.concatenate(parts, axis=1)[:, : plan.out_w]
 
 

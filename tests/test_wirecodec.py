@@ -1,5 +1,6 @@
 """Wire codec: lossless roundtrip through host pack4 + device decode."""
 
+import jax
 import numpy as np
 import pytest
 
@@ -155,3 +156,57 @@ class TestPack2Codec:
                 % 256).astype(np.uint8)
         up = wirecodec.BackgroundUpload(base, bits=2)
         assert np.array_equal(np.asarray(up.result()), base)
+
+
+class TestCodedFetch:
+    """Download direction: device-side encode (encode_plane_device) +
+    threaded C decode (native.wire_unpack)."""
+
+    @pytest.mark.parametrize("shape", [(64, 32), (63, 33), (1, 64), (5, 8),
+                                       (2, 4), (7, 3)])
+    def test_roundtrip_shapes(self, shape):
+        rng = np.random.default_rng(shape[0] * 100 + shape[1])
+        plane = rng.integers(0, 256, shape).astype(np.uint8)
+        got = wirecodec.CodedFetch(
+            jax.device_put(plane), cap=plane.size + 16).wait()
+        assert np.array_equal(got, plane)
+
+    def test_photo_content_exact(self):
+        rng = np.random.default_rng(0)
+        plane = _photo_plane(rng, 400, 512)
+        got = wirecodec.CodedFetch(jax.device_put(plane)).wait()
+        assert np.array_equal(got, plane)
+
+    def test_overflow_falls_back_raw(self):
+        rng = np.random.default_rng(1)
+        plane = rng.integers(0, 256, (256, 256)).astype(np.uint8)
+        got = wirecodec.CodedFetch(jax.device_put(plane), cap=64).wait()
+        assert np.array_equal(got, plane)
+
+    def test_row_chunked_large_plane(self):
+        # R*C just over the i32 idx<<8 packing bound forces two chunks
+        rng = np.random.default_rng(2)
+        rows = (wirecodec._MAX_PLANE // 2048) + 7
+        plane = _photo_plane(rng, rows, 2048)
+        cf = wirecodec.CodedFetch(jax.device_put(plane))
+        assert len(cf._parts) == 2
+        assert np.array_equal(cf.wait(), plane)
+
+    def test_exc_beyond_inline_prefix(self):
+        # noisy enough to exceed the inline budget but stay under cap:
+        # exercises the second (sliced) exception fetch
+        rng = np.random.default_rng(3)
+        plane = _photo_plane(rng, 256, 256, noise=0.10)
+        cf = wirecodec.CodedFetch(jax.device_put(plane),
+                                  cap=plane.size // 2)
+        p = cf._parts[0]
+        got = cf.wait()
+        assert np.array_equal(got, plane)
+
+    def test_wire_unpack_c_vs_numpy(self):
+        rng = np.random.default_rng(4)
+        plane = _photo_plane(rng, 333, 177, noise=0.05)
+        packed, idx, val = native._wire_pack4_py(plane)
+        outC = native.wire_unpack(packed, 333, 177,
+                                  idx.astype(np.int64), val)
+        assert np.array_equal(outC, plane)
