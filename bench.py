@@ -128,7 +128,8 @@ def main():
     # stage — MXU FLOPs, HBM bytes, or tunnel-wire bytes ----
     import roofline
 
-    n_cand_pairs = int(info.get("connected_pairs", n * (n - 1) // 2))
+    # match_2nn runs over ALL C(n,2) candidate pairs (the connected-pair
+    # compaction happens after it), so all-pairs is the intended model here
     feat_secs = stage_s.get("upload+calc_feature",
                             stage_s.get("calc_feature", 0.0))
     rl = {

@@ -442,29 +442,20 @@ def _pairs_residuals(params, prob: BAPairProblem):
     return r * wm[..., None], wm
 
 
-import os as _os
+# NOTE (r5): an OPENPANO_BA_NE_F32 mode (f32 normal-equation accumulation)
+# existed in r4 but was DELETED after the definitive sweep: raw-pixel-coord
+# JtJ entries reach ~1e10 and cancel catastrophically in f32 — the headline
+# reprojection exploded from 1.09 px to 2205 px (tools/sweep_ba_r5.py).
+# Anyone revisiting this must first rescale the problem (coords / focal).
 
 
-def _ne_f32_default() -> bool:
-    """Lazy read of the OPENPANO_BA_NE_F32 toggle (call-site static arg so
-    sweeps can flip it per run): accumulate the normal equations in f32 —
-    the solve and residual/RMS path stay f64.  ~2x cheaper host einsums;
-    tools/ba_sweep.py measured an identical 1.7 px reprojection error on
-    the headline workload (the LM trajectory shifts within acceptance
-    noise)."""
-    return _os.environ.get("OPENPANO_BA_NE_F32", "0") == "1"
-
-
-def _pairs_normal_equations(params, resid_w, prob: BAPairProblem, n_cam,
-                            ne_f32: bool = False):
-    """JtJ [6n,6n], Jtb [6n] — per-pair blocks via batched matmul."""
+def _pairs_ne_blocks(params, resid_w, prob: BAPairProblem):
+    """Per-pair normal-equation blocks: Bp [P,12,12], bp [P,12] in
+    [from(6) | to(6)] row order, plus the effective camera rows (F, Tc).
+    Shared by the dense scatter assembly (_pairs_normal_equations) and
+    the banded chain assembly (banded.assemble_banded)."""
     out_dtype = params.dtype
     pt_to, _, wm, F, Tc = _pairs_eff(prob)
-    if ne_f32:
-        params = params.astype(jnp.float32)
-        pt_to = pt_to.astype(jnp.float32)
-        wm = wm.astype(jnp.float32)
-        resid_w = resid_w.astype(jnp.float32)
     H, dH = _rows_H_dH(params, F, Tc)
     ph = jnp.concatenate([pt_to, jnp.ones_like(pt_to[..., :1])], -1)
     u = jnp.einsum("pij,pmj->pmi", H, ph)
@@ -484,13 +475,18 @@ def _pairs_normal_equations(params, resid_w, prob: BAPairProblem, n_cam,
     rw = resid_w.reshape(P, M * 2)
     Bp = jnp.einsum("pti,ptj->pij", Jf, Jf).astype(out_dtype)  # [P,12,12]
     bp = jnp.einsum("pti,pt->pi", Jf, rw).astype(out_dtype)
+    return Bp, bp, F, Tc
 
+
+def _pairs_normal_equations(params, resid_w, prob: BAPairProblem, n_cam):
+    """JtJ [6n,6n], Jtb [6n] — per-pair blocks via batched matmul."""
+    Bp, bp, F, Tc = _pairs_ne_blocks(params, resid_w, prob)
     n6 = n_cam * 6
     offs = jnp.arange(6)
     rows = jnp.concatenate([F[:, None] * 6 + offs, Tc[:, None] * 6 + offs], 1)
-    JtJ = jnp.zeros((n6, n6), out_dtype)
+    JtJ = jnp.zeros((n6, n6), Bp.dtype)
     JtJ = JtJ.at[rows[:, :, None], rows[:, None, :]].add(Bp)
-    Jtb = jnp.zeros((n6,), out_dtype).at[rows].add(bp)
+    Jtb = jnp.zeros((n6,), Bp.dtype).at[rows].add(bp)
     return JtJ, Jtb
 
 
@@ -498,7 +494,7 @@ def _pairs_normal_equations(params, resid_w, prob: BAPairProblem, n_cam,
     jax.jit,
     static_argnames=(
         "n_cam", "lm_lambda", "device_solver", "return_iters", "adaptive",
-        "max_iter", "ne_f32", "patience", "rel_tol",
+        "max_iter", "patience", "rel_tol", "banded",
     ),
 )
 def ba_optimize_pairs(params: jnp.ndarray, prob: BAPairProblem,
@@ -508,9 +504,9 @@ def ba_optimize_pairs(params: jnp.ndarray, prob: BAPairProblem,
                       return_iters: bool = False,
                       adaptive: bool = False,
                       max_iter: int = LM_MAX_ITER,
-                      ne_f32: bool = False,
                       patience: int = NR_NON_DECREASE,
-                      rel_tol: float = 0.0) -> jnp.ndarray:
+                      rel_tol: float = 0.0,
+                      banded: bool = False) -> jnp.ndarray:
     """LM loop (optimize(), .cc:117-168) over a pair-major problem.  Same
     semantics as :func:`ba_optimize`: fixed split damping, identity-camera
     rotation freeze, >1e-3 RMS improvement acceptance, stop after
@@ -530,7 +526,7 @@ def ba_optimize_pairs(params: jnp.ndarray, prob: BAPairProblem,
     assert lm_lambda > 0, "LM damping must be positive (SPD precondition)"
     best_flat, itr = _lm_while(
         params.reshape(-1), prob, n_cam, identity_idx, lm_lambda,
-        device_solver, adaptive, max_iter, ne_f32, patience, rel_tol,
+        device_solver, adaptive, max_iter, patience, rel_tol, banded,
     )
     out = best_flat.reshape(n_cam, 6)
     if return_iters:
@@ -540,9 +536,13 @@ def ba_optimize_pairs(params: jnp.ndarray, prob: BAPairProblem,
 
 def _lm_while(flat0, prob: BAPairProblem, n_cam: int, identity_idx,
               lm_lambda: float, device_solver: bool, adaptive: bool,
-              max_iter: int, ne_f32: bool, patience: int, rel_tol: float):
-    """The traced LM loop shared by ba_optimize_pairs (one dispatch per
-    pass) and ba_schedule_pairs (whole incremental schedule in one scan).
+              max_iter: int, patience: int, rel_tol: float,
+              banded: bool = False):
+    """The traced LM loop behind ba_optimize_pairs (one dispatch per
+    pass).  ``banded=True`` solves the normal equations by cyclic block
+    Thomas elimination (camera/banded.py) instead of the dense Cholesky —
+    O(n) per iteration, for chain/ring match graphs (ordered input),
+    where the dense 6n x 6n factorization dominates past ~100 cameras.
     Returns (best_flat, iterations)."""
     dtype = flat0.dtype
 
@@ -566,11 +566,22 @@ def _lm_while(flat0, prob: BAPairProblem, n_cam: int, identity_idx,
 
     def body(carry):
         best_flat, resid, best_err, nr_nd, itr, lam = carry
-        JtJ, Jtb = _pairs_normal_equations(
-            best_flat.reshape(n_cam, 6), resid, prob, n_cam, ne_f32
-        )
-        A = JtJ + jnp.diag(damp_unit * lam)
-        delta = _lm_solve(A, Jtb, device_solver)
+        if banded:
+            from .banded import assemble_banded, solve_block_cyclic
+
+            Bp, bp, F, Tc = _pairs_ne_blocks(
+                best_flat.reshape(n_cam, 6), resid, prob
+            )
+            D, U, C, rhs = assemble_banded(Bp, bp, F, Tc, n_cam)
+            dvec = (damp_unit * lam).reshape(n_cam, 6)
+            D = D + jnp.eye(6, dtype=D.dtype)[None] * dvec[:, :, None]
+            delta = solve_block_cyclic(D, U, C, rhs).reshape(-1)
+        else:
+            JtJ, Jtb = _pairs_normal_equations(
+                best_flat.reshape(n_cam, 6), resid, prob, n_cam
+            )
+            A = JtJ + jnp.diag(damp_unit * lam)
+            delta = _lm_solve(A, Jtb, device_solver)
         new_flat = best_flat - delta * upd_mask
         new_r, wm = _pairs_residuals(new_flat.reshape(n_cam, 6), prob)
         new_err = rms(new_r, wm)
@@ -595,68 +606,6 @@ def _lm_while(flat0, prob: BAPairProblem, n_cam: int, identity_idx,
             jnp.zeros((), jnp.int32), lam0)
     best_flat, _, _, _, itr, _ = jax.lax.while_loop(cond, body, init)
     return best_flat, itr
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "n_cam", "lm_lambda", "device_solver", "adaptive", "max_iter",
-        "ne_f32", "patience", "rel_tol",
-    ),
-)
-def ba_schedule_pairs(params, prob: BAPairProblem, identity_idx,
-                      n_cam: int, lm_lambda: float,
-                      now, nxt, Hs, init_mask, pair_w_steps,
-                      device_solver: bool = False,
-                      adaptive: bool = False,
-                      max_iter: int = LM_MAX_ITER,
-                      ne_f32: bool = False,
-                      patience: int = NR_NON_DECREASE,
-                      rel_tol: float = 0.0):
-    """E steps of the MULTIPASS_BA incremental schedule in ONE compiled
-    scan: each step initializes camera ``nxt`` from its tree parent
-    ``now`` through the pair homography (camera_estimator.cc:59-69) and
-    runs one capped LM pass over the step's active-pair prefix.
-
-    The unfused path (estimator.run_ba) pays a host<->XLA dispatch round
-    trip per pass — ~37 of them on the headline; grouping the steps that
-    share one bucket shape into a scan leaves ~one dispatch per bucket.
-
-    now/nxt: [E] i32; Hs: [E,3,3] (maps nxt -> now, stitcher graph
-    orientation); init_mask: [E] (0 skips the init); pair_w_steps: [E,P].
-    Returns (params [n_cam,6], total LM iterations)."""
-    assert lm_lambda > 0
-    dtype = params.dtype
-
-    def init_cam(flat, now_e, nxt_e, H):
-        p = flat.reshape(n_cam, 6)
-        c_now = p[now_e]
-        K_now = _K(c_now[0], c_now[1], c_now[2], dtype)
-        R_now = rodrigues(c_now[3:6])
-        z = jnp.zeros((), dtype)
-        K_next = _K(p[nxt_e, 0], z, z, dtype)
-        Mt = jnp.linalg.inv(K_now) @ H @ K_next
-        R_next = (R_now.T @ Mt).T
-        from .rotation import rotation_to_angle
-
-        v = rotation_to_angle(R_next)
-        p = p.at[nxt_e, 1:3].set(0.0).at[nxt_e, 3:6].set(v)
-        return p.reshape(-1)
-
-    def step(flat, xs):
-        now_e, nxt_e, H, im, pw = xs
-        flat = jnp.where(im > 0, init_cam(flat, now_e, nxt_e, H), flat)
-        flat, itr = _lm_while(
-            flat, prob._replace(pair_w=pw), n_cam, identity_idx,
-            lm_lambda, device_solver, adaptive, max_iter, ne_f32,
-            patience, rel_tol,
-        )
-        return flat, itr
-
-    flat, iters = jax.lax.scan(
-        step, params.reshape(-1), (now, nxt, Hs, init_mask, pair_w_steps)
-    )
-    return flat.reshape(n_cam, 6), jnp.sum(iters)
 
 
 def pairs_to_points(from_idx, to_idx, pts_to, pts_from, valid, pair_active):

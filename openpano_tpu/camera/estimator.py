@@ -198,6 +198,71 @@ def estimate_cameras(
             pair_swapped[s] = sw
             s += 1
 
+    # ---- (r5) intermediate-pass point subsample ----
+    # The incremental passes exist to keep the next camera initialization
+    # healthy, not to converge — so they can run on a STRIDED subset of
+    # each pair's inliers (cap_k slots = up to cap_k*SLOT points/pair);
+    # the final polish always sees the full point set.  Strided, not a
+    # head prefix: inliers arrive in keypoint scan order, so a prefix
+    # would bias toward one image region and skew the rotation estimate.
+    # Measured (tools/sweep_ba_r5.py): cap 2 cuts the intermediate LM
+    # stage time ~35% at unchanged final accuracy.
+    cap_k = max(int(getattr(cfg, "BA_INTERMEDIATE_POINT_SLOTS", 0)), 0)
+    if cap_k > 0 and cfg.MULTIPASS_BA > 0:
+        act_slots_c = [min(ns, cap_k) for ns in act_slots]
+        slots_c_by_key = {k: ns
+                          for (k, _), ns in zip(activation, act_slots_c)}
+        Pc = max(sum(act_slots_c), 1)
+        pt_to_c = np.zeros((Pc, M, 2))
+        pt_from_c = np.zeros((Pc, M, 2))
+        w_c = np.zeros((Pc, M))
+        cam_a_c = np.zeros(Pc, np.int32)
+        cam_b_c = np.zeros(Pc, np.int32)
+        swapped_c = np.zeros(Pc, bool)
+        s = 0
+        for ((a, b), sw), nsl in zip(activation, act_slots_c):
+            m = valid[a, b]
+            pt = to_pos[a, b][m]
+            pf = from_pos[a, b][m]
+            cnt = len(pt)
+            take = min(cnt, nsl * SLOT)
+            sel = np.arange(take) * cnt // max(take, 1)
+            pt, pf = pt[sel], pf[sel]
+            for c in range(nsl):
+                seg = slice(c * SLOT, min((c + 1) * SLOT, take))
+                k2 = seg.stop - seg.start
+                pt_to_c[s, :k2] = pt[seg]
+                pt_from_c[s, :k2] = pf[seg]
+                w_c[s, :k2] = 1.0
+                cam_a_c[s] = a
+                cam_b_c[s] = b
+                swapped_c[s] = sw
+                s += 1
+    else:
+        act_slots_c = act_slots
+        slots_c_by_key = slots_by_key
+        Pc = P
+        pt_to_c, pt_from_c, w_c = pt_to_slab, pt_from_slab, w_slab
+        cam_a_c, cam_b_c, swapped_c = cam_a, cam_b, pair_swapped
+
+    # banded LM solve for chain/ring match graphs (ordered input): the
+    # dense 6n x 6n factorization dominates past ~100 cameras (n=500:
+    # a 3000^3 dense solve PER LM ITERATION), while the ring's JtJ is
+    # block-tridiagonal + one wrap corner — O(n) by cyclic block Thomas
+    # (camera/banded.py).  Auto past 100 cameras; OPENPANO_BA_BANDED=1/0
+    # forces/disables (structure permitting).
+    from .banded import is_chain_structure
+
+    _struct_ok = len(activation) > 0 and is_chain_structure(
+        cam_a[:P], cam_b[:P], n)
+    _benv = os.environ.get("OPENPANO_BA_BANDED", "auto")
+    if _benv == "0":
+        banded_ok = False
+    elif _benv == "1":
+        banded_ok = _struct_ok
+    else:
+        banded_ok = _struct_ok and n >= 100
+
     # BA placement: host CPU by default (tiny f64 LM; see Config.BA_ON_HOST)
     if cfg.BA_ON_HOST and mesh is None:
         ba_ctx = lambda: jax.default_device(jax.devices("cpu")[0])
@@ -205,26 +270,48 @@ def estimate_cameras(
         ba_ctx = contextlib.nullcontext
 
     n_active = 0
+    n_active_c = 0
 
     _prob_cache: dict = {}
 
-    def _prob_for(b: int, pw: np.ndarray) -> BAPairProblem:
+    def _prob_for(b: int, pw: np.ndarray, capped: bool) -> BAPairProblem:
         """Bucketed problem arrays are schedule-invariant — convert the
         slabs once per bucket and swap only the activation weights per
         call (the per-call numpy->jnp conversions were pure overhead)."""
-        if b not in _prob_cache:
-            _prob_cache[b] = BAPairProblem(
-                pt_to=jnp.asarray(pt_to_slab[:b]),
-                pt_from=jnp.asarray(pt_from_slab[:b]),
-                w=jnp.asarray(w_slab[:b]),
-                cam_to=jnp.asarray(cam_a[:b]),
-                cam_from=jnp.asarray(cam_b[:b]),
-                swapped=jnp.asarray(pair_swapped[:b]),
+        key = (b, capped)
+        if key not in _prob_cache:
+            tt, tf, ww = ((pt_to_c, pt_from_c, w_c) if capped
+                          else (pt_to_slab, pt_from_slab, w_slab))
+            ca, cb, sw = ((cam_a_c, cam_b_c, swapped_c) if capped
+                          else (cam_a, cam_b, pair_swapped))
+            _prob_cache[key] = BAPairProblem(
+                pt_to=jnp.asarray(tt[:b]),
+                pt_from=jnp.asarray(tf[:b]),
+                w=jnp.asarray(ww[:b]),
+                cam_to=jnp.asarray(ca[:b]),
+                cam_from=jnp.asarray(cb[:b]),
+                swapped=jnp.asarray(sw[:b]),
                 pair_w=jnp.zeros(b),
             )
-        return _prob_cache[b]._replace(pair_w=jnp.asarray(pw))
+        return _prob_cache[key]._replace(pair_w=jnp.asarray(pw))
 
-    def run_ba(max_iter=None, adaptive=None, patience=None, rel_tol=0.0):
+    def _bucket(nact: int, cap: int) -> int:
+        """Prefix bucket ladder: x2 up to 64, then x1.5 steps (96, 128,
+        192, 256, 384, ...) — halves the padded-slot waste of a pure
+        power-of-two ladder in the 128-512 range where the headline's
+        intermediate passes live, for a few extra compiled LM shapes."""
+        b = 8
+        while b < min(nact, cap):
+            if b < 64:
+                b *= 2
+            elif (b & (b - 1)) == 0:
+                b += b // 2
+            else:
+                b += b // 3
+        return min(b, cap)
+
+    def run_ba(max_iter=None, adaptive=None, patience=None, rel_tol=0.0,
+               capped=False):
         nonlocal params
         if max_iter is None:
             max_iter = LM_MAX_ITER
@@ -232,22 +319,20 @@ def estimate_cameras(
             adaptive = cfg.BA_ADAPTIVE_LM
         if patience is None:
             patience = 5  # reference stop rule (.cc:159) for final polish
-        if n_active == 0:
+        capped = capped and cap_k > 0
+        nact = n_active_c if capped else n_active
+        cap = Pc if capped else P
+        if nact == 0:
             return
-        # prefix bucket: smallest power-of-two >= active count (min 8),
-        # capped at P — a handful of compiled LM shapes for the schedule
-        b = 8
-        while b < n_active:
-            b <<= 1
-        b = min(b, P)
+        b = _bucket(nact, cap)
         pw = np.zeros(b)
-        pw[:n_active] = 1.0
+        pw[:nact] = 1.0
         want_iters = stats is not None
         with ba_ctx(), total_timer(f"ba_lm[{b}]"):
             import time as _time
 
             t0 = _time.perf_counter()
-            prob = _prob_for(b, pw)
+            prob = _prob_for(b, pw, capped)
             if mesh is not None:
                 from ..parallel.dist_ba import ba_optimize_pairs_sharded
 
@@ -255,9 +340,9 @@ def estimate_cameras(
                     jnp.asarray(params), prob, jnp.asarray(root), n,
                     cfg.LM_LAMBDA, mesh, return_iters=want_iters,
                     adaptive=adaptive, max_iter=max_iter,
+                    patience=patience, rel_tol=rel_tol, banded=banded_ok,
                 )
             else:
-                from .bundle_adjuster import _ne_f32_default
                 from ..utils.debug import numeric_checks_enabled
 
                 ba_kwargs = dict(
@@ -265,9 +350,9 @@ def estimate_cameras(
                     return_iters=want_iters,
                     adaptive=adaptive,
                     max_iter=max_iter,
-                    ne_f32=_ne_f32_default(),
                     patience=patience,
                     rel_tol=rel_tol,
+                    banded=banded_ok,
                 )
                 ba_args = (jnp.asarray(params), prob, jnp.asarray(root), n,
                            cfg.LM_LAMBDA)
@@ -307,93 +392,11 @@ def estimate_cameras(
     batch_k = max(int(getattr(cfg, "BA_BATCH_IMAGES", 1)), 1)
     from ..utils.debug import numeric_checks_enabled
 
-    # OPENPANO_BA_FUSED=1 runs the whole intermediate schedule (camera
-    # inits + LM passes) as one compiled scan per bucket
-    # (ba_schedule_pairs) instead of ~n dispatches.  Default OFF for the
-    # host-CPU LM: measured SLOWER there (the python loop already
-    # overlaps call prep with async XLA execution, and the scanned
-    # while_loop loses ~30% to the standalone executable); it exists for
-    # device-placed BA, where per-dispatch wire round trips dominate.
-    fused = (cfg.MULTIPASS_BA == 1 and batch_k == 1 and mesh is None
-             and len(edges) > 0 and not numeric_checks_enabled()
-             and os.environ.get("OPENPANO_BA_FUSED", "0") == "1")
-    if fused:
-        # ---- fused schedule: camera inits + intermediate LM passes run
-        # as ONE compiled scan per bucket (ba_schedule_pairs) instead of
-        # ~n dispatch round trips (the round-trip overhead was ~40% of
-        # the stage on the headline) ----
-        from .bundle_adjuster import _ne_f32_default, ba_schedule_pairs
-
-        e_now, e_nxt, e_H, e_active = [], [], [], []
-        n_act = 0
-        visited = {root}
-        for now, nxt in edges:
-            visited.add(nxt)
-            for i in sorted(visited - {nxt}):
-                key = (min(i, nxt), max(i, nxt))
-                if key in conn:
-                    n_act += slots_by_key[key]
-            e_now.append(now)
-            e_nxt.append(nxt)
-            e_H.append(homos[now, nxt])           # maps next -> now
-            e_active.append(n_act)
-
-        def _bucket(active):
-            b = 8
-            while b < active:
-                b <<= 1
-            return min(b, P)
-
-        groups: list[tuple[int, list[int]]] = []
-        for k in range(len(edges)):
-            b = _bucket(max(e_active[k], 1))
-            if groups and groups[-1][0] == b:
-                groups[-1][1].append(k)
-            else:
-                groups.append((b, [k]))
-        want_iters = stats is not None
-        for b, ks in groups:
-            E = len(ks)
-            pw = np.zeros((E, b))
-            for r_i, k in enumerate(ks):
-                pw[r_i, : e_active[k]] = 1.0
-            prob_b = BAPairProblem(
-                pt_to=jnp.asarray(pt_to_slab[:b]),
-                pt_from=jnp.asarray(pt_from_slab[:b]),
-                w=jnp.asarray(w_slab[:b]),
-                cam_to=jnp.asarray(cam_a[:b]),
-                cam_from=jnp.asarray(cam_b[:b]),
-                swapped=jnp.asarray(pair_swapped[:b]),
-                pair_w=jnp.asarray(pw[0]),        # placeholder; scanned
-            )
-            with ba_ctx(), total_timer(f"ba_lm[{b}]"):
-                import time as _time
-
-                t0 = _time.perf_counter()
-                out, iters = ba_schedule_pairs(
-                    jnp.asarray(params), prob_b, jnp.asarray(root), n,
-                    cfg.LM_LAMBDA,
-                    jnp.asarray([e_now[k] for k in ks], jnp.int32),
-                    jnp.asarray([e_nxt[k] for k in ks], jnp.int32),
-                    jnp.asarray([e_H[k] for k in ks]),
-                    jnp.ones(E, jnp.int32),
-                    jnp.asarray(pw),
-                    device_solver=not cfg.BA_ON_HOST,
-                    adaptive=cfg.BA_ADAPTIVE_LM,
-                    max_iter=inter_iters,
-                    ne_f32=_ne_f32_default(),
-                    patience=cfg.BA_INTERMEDIATE_PATIENCE,
-                    rel_tol=cfg.BA_INTERMEDIATE_REL_TOL,
-                )
-                params = np.array(out)
-                if want_iters:
-                    stats["lm_iters"] = stats.get("lm_iters", 0) + int(iters)
-                    stats["lm_time_s"] = (
-                        stats.get("lm_time_s", 0.0)
-                        + _time.perf_counter() - t0
-                    )
-        n_active = e_active[-1]
-    else:
+    # (r5) the r4 OPENPANO_BA_FUSED whole-schedule scan was DELETED: it
+    # measured SLOWER than this dispatch loop on the host-CPU LM (python
+    # call prep overlaps async XLA execution) and its hypothetical win
+    # condition (device-placed f64 BA) is software-emulated on TPU.
+    if True:
         since_ba = 0
         visited = {root}
         for now, nxt in edges:
@@ -414,16 +417,19 @@ def estimate_cameras(
                     key = (min(i, nxt), max(i, nxt))
                     if key in conn:
                         n_active += slots_by_key[key]
+                        n_active_c += slots_c_by_key[key]
                         if cfg.MULTIPASS_BA == 2:
                             run_ba(inter_iters,
                                    patience=cfg.BA_INTERMEDIATE_PATIENCE,
-                                   rel_tol=cfg.BA_INTERMEDIATE_REL_TOL)
+                                   rel_tol=cfg.BA_INTERMEDIATE_REL_TOL,
+                                   capped=True)
                 if cfg.MULTIPASS_BA == 1:
                     since_ba += 1
                     if since_ba >= batch_k or len(visited) == n:
                         run_ba(inter_iters,
                                patience=cfg.BA_INTERMEDIATE_PATIENCE,
-                               rel_tol=cfg.BA_INTERMEDIATE_REL_TOL)
+                               rel_tol=cfg.BA_INTERMEDIATE_REL_TOL,
+                               capped=True)
                         since_ba = 0
 
     if cfg.MULTIPASS_BA == 0:                     # camera_estimator.cc:92-99

@@ -103,29 +103,41 @@ class Config:
     ROBUST_FOCAL: bool = True
     # Adaptive Marquardt lambda scheduling (accept /3, reject x4) instead
     # of the reference's fixed lambda (incremental_bundle_adjuster.cc:
-    # 240-248): reaches a slightly lower minimum but takes MORE accepted
-    # steps under the reference's >1e-3 acceptance rule, so it costs time.
-    # Off by default; turn on when camera quality matters more than
-    # latency.
-    BA_ADAPTIVE_LM: bool = False
+    # 240-248).  Default ON since r5: combined with short subsampled
+    # intermediate passes it dominates the fixed schedule on BOTH axes —
+    # headline sweep (tools/sweep_ba_r5.py): fixed-lambda best point was
+    # 1.33 s / 1.09 px; adaptive + 1-slot intermediates + 9-iter caps
+    # reaches 0.55 s / 0.61 px.  Set False for bit-faithful reference
+    # lambda behavior.
+    BA_ADAPTIVE_LM: bool = True
     # Iteration cap for the INTERMEDIATE incremental-BA runs (the
     # per-image/per-connection passes of MULTIPASS_BA, whose only job is
     # keeping the next camera initialization healthy); a final run always
     # polishes at the full LM_MAX_ITER=100 depth.  The reference runs every
     # pass to 100 (incremental_bundle_adjuster.cc:24) — set 100 to match.
-    # Measured on the 38-image headline (r4 sweeps, patience 1): 8 -> 2.2 px
-    # mean reprojection vs ground truth, 15 -> 1.69, 20 -> 1.09, 25 -> 0.99
-    # — deeper intermediates with an earlier plateau stop beat shallow
-    # ones that wait out 5 rejections.  Default 20 keeps the headline
-    # wall (~25% fewer LM iterations than 25) while sitting 2.3x inside
-    # the 2.5 px quality gate; set 25-30 when accuracy outranks latency.
-    BA_INTERMEDIATE_ITERS: int = 20
+    # r4 sweeps (fixed lambda, full points, patience 1): 8 -> 2.2 px,
+    # 15 -> 1.69, 20 -> 1.09, 25 -> 0.99.  r5 changed the regime: with
+    # BA_ADAPTIVE_LM + 1-slot subsampled intermediates, 9 iterations
+    # land 0.61 px at 0.55 s (tools/sweep_ba_r5.py cap1_it9_adapt) —
+    # adaptive damping extracts more progress per iteration, so short
+    # passes suffice.  Raise toward 20-25 if BA_ADAPTIVE_LM is off.
+    BA_INTERMEDIATE_ITERS: int = 9
     # Plateau patience (consecutive non-improving LM steps before stopping)
     # for the INTERMEDIATE passes only; the final polish uses the
     # reference's 5 (incremental_bundle_adjuster.cc:159).  Intermediate
     # passes exist to keep initializations healthy, not to converge —
     # waiting out 5 rejected steps x ~37 passes is pure latency.
     BA_INTERMEDIATE_PATIENCE: int = 1
+    # Point budget for INTERMEDIATE passes, in 32-point slots per pair
+    # (0 = full set).  Intermediates only keep the next initialization
+    # healthy, so they run on a strided inlier subsample; the final
+    # polish always uses every point.  r5 sweep (tools/sweep_ba_r5.py,
+    # 38-image headline): cap 1 alone drifts (1.74 px) but cap 1 +
+    # BA_ADAPTIVE_LM lands 0.61 px at 0.55 s — adaptive damping tames
+    # the subsampled steps and the full-point final polish finishes the
+    # convergence.  Cap 2 is the conservative fallback (1.05-1.11 px
+    # without adaptive).
+    BA_INTERMEDIATE_POINT_SLOTS: int = 1
     # Relative acceptance tolerance for INTERMEDIATE passes: a step must
     # improve RMS by max(1e-3 px, rel_tol * current) to count.  0 keeps
     # the reference's absolute 1e-3 px rule for every pass.  MEASURED to

@@ -201,6 +201,7 @@ class BackgroundUpload:
         self._bits = bits
         self._result = None
         self._error: BaseException | None = None
+        self._abandoned = False
         self._wire_gate = threading.Event()
         if not gate_wire:
             self._wire_gate.set()
@@ -211,11 +212,23 @@ class BackgroundUpload:
         """Allow the chunked puts to start (no-op if already released)."""
         self._wire_gate.set()
 
+    def abandon(self):
+        """Drop the upload: wake the gated thread and have it exit without
+        touching the wire.  Callers that may discard an instance before
+        ``result()`` (error paths between stages) register this as a
+        finalizer so a gate_wire=True thread never parks forever holding
+        its ~100 MB encoded stream."""
+        self._abandoned = True
+        self._wire_gate.set()
+
     def _run(self):
         try:
             plane = self._plane() if callable(self._plane) else self._plane
             stream = encode_plane(plane, bits=self._bits)
             self._wire_gate.wait()
+            if self._abandoned:
+                self._error = RuntimeError("BackgroundUpload abandoned")
+                return
             if stream is None:
                 parts = self._chunked_put(plane)
                 self._result = ("raw", parts, plane.shape)

@@ -280,7 +280,13 @@ def _wire_pack(plane: np.ndarray, exc_frac: float, bits: int):
     rows, cols = plane.shape
     lib = get_lib()
     if lib is None:
-        return _wire_pack4_py(plane) if bits == 4 else _wire_pack2_py(plane)
+        out = _wire_pack4_py(plane) if bits == 4 else _wire_pack2_py(plane)
+        # same overflow contract as the native path: content too noisy for
+        # the bit budget tells the caller to upload raw (without this the
+        # fallback emitted ~2 B/px of exceptions — larger than raw)
+        if out is not None and out[1].size > plane.size * exc_frac:
+            return None
+        return out
     group = 2 if bits == 4 else 4
     out_rows = (rows + group - 1) // group
     packed = np.empty((out_rows, cols), np.uint8)

@@ -43,7 +43,10 @@ def ba_optimize_pairs_sharded(params, prob: BAPairProblem, identity_idx,
                               mesh: Mesh,
                               return_iters: bool = False,
                               adaptive: bool = False,
-                              max_iter: int | None = None) -> jnp.ndarray:
+                              max_iter: int | None = None,
+                              patience: int | None = None,
+                              rel_tol: float = 0.0,
+                              banded: bool = False) -> jnp.ndarray:
     """Run the full LM loop with pairs sharded over the mesh's first axis.
 
     Semantics identical to :func:`ba_optimize_pairs` (same compiled loop —
@@ -71,9 +74,16 @@ def ba_optimize_pairs_sharded(params, prob: BAPairProblem, identity_idx,
     # CPU/GPU meshes solve in native f64 so the sharded result is
     # bit-comparable to the single-device path.
     on_tpu = mesh.devices.flat[0].platform == "tpu"
-    from ..camera.bundle_adjuster import LM_MAX_ITER
+    from ..camera.bundle_adjuster import LM_MAX_ITER, NR_NON_DECREASE
 
-    return ba_optimize_pairs(params, prob, identity_idx, n_cam, lm_lambda,
-                             device_solver=on_tpu, return_iters=return_iters,
-                             adaptive=adaptive,
-                             max_iter=LM_MAX_ITER if max_iter is None else max_iter)
+    return ba_optimize_pairs(
+        params, prob, identity_idx, n_cam, lm_lambda,
+        device_solver=on_tpu, return_iters=return_iters,
+        adaptive=adaptive,
+        max_iter=LM_MAX_ITER if max_iter is None else max_iter,
+        patience=NR_NON_DECREASE if patience is None else patience,
+        rel_tol=rel_tol,
+        # banded chain solve composes with the pair sharding: the block
+        # accumulation psums the small [n,6,6] diag/offdiag operands and
+        # the Thomas scan runs replicated
+        banded=banded)

@@ -428,3 +428,188 @@ def blend_multiband(imgs: jnp.ndarray, plan: RenderPlan, band_level: int) -> jnp
 
     out = jnp.clip(target, 0.0, 1.0)
     return jnp.where(visited[..., None], out, INVALID)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("proj", "band_level", "u8", "Hp", "SW", "rh", "rw",
+                     "IC"),
+)
+def _mb_host_band_step(band_imgs, idx, rng, org_l, gid, on, hinv, whs,
+                       proj_min, resolution, wta_w_in, wta_i_in, lvl_in,
+                       proj: str, band_level: int, u8: bool,
+                       Hp: int, SW: int, rh: int, rw: int, IC: int):
+    """One column band of the single-device beyond-HBM multiband blend.
+
+    The mesh-sharded multiband (_mb_sharded_program) exchanges every
+    cross-band term as a single rightward ppermute; this runs the same
+    algorithm with the halos carried IN TIME instead: band g consumes the
+    (max-weight, min-item-id) seam halo and the per-level accumulator
+    halos produced by band g-1 and emits its own for band g+1.  Per-item
+    blurs are item-local so the band decomposition is exact.
+
+    Returns (strip [Hp, SW, 3], wta halos, per-level accumulator halos)."""
+    from .render import pair_imgs_x
+
+    BW = SW + rw
+    imgs_f = band_imgs.astype(jnp.float32) / 255.0 if u8 else band_imgs
+    planes = _first_level(
+        pair_imgs_x(imgs_f), hinv, whs, idx, rng,
+        proj_min, resolution, proj, rh, rw,
+    )
+    planes = planes * on[:, None, None, None]
+    valid_f = (planes[..., 3] > 0).astype(jnp.float32)
+
+    # ---- winner-take-all with the carried (max, min-index) halo ----
+    def upd_max(i, acc):
+        maxw, minid = acc
+        x0, y0 = org_l[i, 0], org_l[i, 1]
+        w = planes[i, :, :, 3]
+        mw = jax.lax.dynamic_slice(maxw, (y0, x0), (rh, rw))
+        mi = jax.lax.dynamic_slice(minid, (y0, x0), (rh, rw))
+        better = w > mw
+        tie = (w == mw) & (w > 0)
+        nid = jnp.where(better, gid[i],
+                        jnp.where(tie, jnp.minimum(mi, gid[i]), mi))
+        maxw = jax.lax.dynamic_update_slice(
+            maxw, jnp.maximum(mw, w), (y0, x0))
+        minid = jax.lax.dynamic_update_slice(minid, nid, (y0, x0))
+        return maxw, minid
+
+    big = jnp.int32(1 << 30)
+    maxw = jnp.zeros((Hp, BW), jnp.float32)
+    minid = jnp.full((Hp, BW), big, jnp.int32)
+    maxw, minid = jax.lax.fori_loop(0, IC, upd_max, (maxw, minid))
+    head_w, head_i = maxw[:, :rw], minid[:, :rw]
+    cb = wta_w_in > head_w
+    ct = wta_w_in == head_w
+    comb_w = jnp.maximum(head_w, wta_w_in)
+    comb_i = jnp.where(cb, wta_i_in,
+                       jnp.where(ct, jnp.minimum(head_i, wta_i_in), head_i))
+    maxw = maxw.at[:, :rw].set(comb_w)
+    minid = minid.at[:, :rw].set(comb_i)
+
+    def read_back(i, pl):
+        x0, y0 = org_l[i, 0], org_l[i, 1]
+        mi = jax.lax.dynamic_slice(minid, (y0, x0), (rh, rw))
+        won = (mi == gid[i]) & (pl[i, :, :, 3] > 0)
+        return pl.at[i, :, :, 3].set(won.astype(jnp.float32))
+
+    planes = jax.lax.fori_loop(0, IC, read_back, planes)
+
+    # ---- band levels with one carried additive halo per level ----
+    target = jnp.zeros((Hp, SW, 3), jnp.float32)
+    visited = jnp.zeros((Hp, SW), bool)
+    cur = planes
+    lvl_out = []
+    for level in range(band_level):
+        is_last = level == band_level - 1
+        if not is_last:
+            sigma = float(np.sqrt(level * 2 + 1.0) * 4)
+            nxt = jnp.moveaxis(blur(jnp.moveaxis(cur, -1, 1), sigma), 1, -1)
+        else:
+            nxt = cur
+
+        def acc_body(i, acc):
+            isum, wsum = acc
+            x0, y0 = org_l[i, 0], org_l[i, 1]
+            w = cur[i, :, :, 3] * valid_f[i]
+            band = (cur[i, :, :, :3] if is_last
+                    else cur[i, :, :, :3] - nxt[i, :, :, :3])
+            z0 = jnp.zeros((), y0.dtype)
+            ir = jax.lax.dynamic_slice(isum, (y0, x0, z0), (rh, rw, 3))
+            wr = jax.lax.dynamic_slice(wsum, (y0, x0), (rh, rw))
+            isum = jax.lax.dynamic_update_slice(
+                isum, ir + band * w[..., None], (y0, x0, z0))
+            wsum = jax.lax.dynamic_update_slice(wsum, wr + w, (y0, x0))
+            return isum, wsum
+
+        isum = jnp.zeros((Hp, BW, 3), jnp.float32)
+        wsum = jnp.zeros((Hp, BW), jnp.float32)
+        isum, wsum = jax.lax.fori_loop(0, IC, acc_body, (isum, wsum))
+        hic, hwc = lvl_in[level]
+        isum = isum.at[:, :rw].add(hic)
+        wsum = wsum.at[:, :rw].add(hwc)
+        lvl_out.append((isum[:, SW:], wsum[:, SW:]))
+        isum, wsum = isum[:, :SW], wsum[:, :SW]
+        has = wsum >= EPS
+        contrib = jnp.where(
+            has[..., None], isum / jnp.maximum(wsum, EPS)[..., None], 0.0)
+        target = jnp.where(
+            (has & ~visited)[..., None], contrib,
+            jnp.where(has[..., None], target + contrib, target),
+        )
+        visited = visited | has
+        cur = nxt
+
+    out = jnp.clip(target, 0.0, 1.0)
+    strip = jnp.where(visited[..., None], out, INVALID)
+    return strip, maxw[:, SW:], minid[:, SW:], lvl_out
+
+
+def blend_multiband_host_stream(imgs: np.ndarray, plan: RenderPlan,
+                                band_level: int, groups: int) -> np.ndarray:
+    """Beyond-HBM multiband blend on ONE device.
+
+    The sequential-time analog of blend_multiband_sharded (exactly the
+    LAZY_READ load -> accumulate -> release model the reference's
+    multiband uses, multiband.cc:19-57 + imageref.hh:22-31): band g's
+    image subset uploads from HOST RAM, its strip blends, and the seam +
+    per-level accumulator halos carry forward as loop variables.  Peak
+    device memory is one band's image slice + [IC, rh, rw, 4] planes +
+    strip accumulators — independent of N.
+
+    imgs: HOST numpy [N, H, W, 3] u8 or f32.  Returns the blended
+    [out_h, out_w, 3] f32 canvas (host, INVALID where empty)."""
+    from .render import _tile_jobs
+
+    rh, rw = _roi_sizes(plan)
+    G, SW, Hp, Wp, TH, TW, band_jobs = _tile_jobs(
+        plan, groups=groups, exact=True, item_slabs=True)
+    assert G == groups and SW >= rw, (SW, rw)
+
+    IC = max(max(len(b[0]) for b in band_jobs), 1)
+    band_imgs = [np.unique(b[0]) if len(b[0]) else np.zeros(1, np.int64)
+                 for b in band_jobs]
+    NI = max(len(u) for u in band_imgs)
+    M = len(plan.items)
+    u8 = imgs.dtype == np.uint8
+
+    proj_min = jnp.asarray(plan.proj_min, jnp.float32)
+    resolution = jnp.asarray(plan.resolution, jnp.float32)
+    wta_w = jnp.zeros((Hp, rw), jnp.float32)
+    wta_i = jnp.full((Hp, rw), jnp.int32(1 << 30))
+    lvl = [(jnp.zeros((Hp, rw, 3), jnp.float32),
+            jnp.zeros((Hp, rw), jnp.float32)) for _ in range(band_level)]
+    strips = []
+    for g, (bi, br, bo, sid) in enumerate(band_jobs):
+        u = band_imgs[g]
+        slot = np.zeros(NI, np.int64)
+        slot[: len(u)] = u
+        idx = np.zeros(IC, np.int32)
+        rng = np.zeros((IC, 4), np.float32)
+        org = np.zeros((IC, 2), np.int32)
+        gid = np.full(IC, M, np.int32)
+        on = np.zeros(IC, np.float32)
+        idx[: len(bi)] = np.searchsorted(u, bi)
+        rng[: len(bi)] = br
+        rng[: len(bi), :2] = bo      # RoI grid origin == placement origin
+        org[: len(bi)] = bo
+        org[: len(bi), 0] -= g * SW  # strip-local x origins
+        gid[: len(bi)] = sid
+        on[: len(bi)] = 1.0
+        band_slice = jax.device_put(np.ascontiguousarray(imgs[slot]))
+        strip, wta_w, wta_i, lvl = _mb_host_band_step(
+            band_slice, jnp.asarray(idx), jnp.asarray(rng),
+            jnp.asarray(org), jnp.asarray(gid), jnp.asarray(on),
+            jnp.asarray(plan.homo_invs[slot]),
+            jnp.asarray(plan.whs[slot], jnp.float32),
+            proj_min, resolution, wta_w, wta_i, tuple(lvl),
+            proj=plan.proj, band_level=band_level, u8=u8,
+            Hp=Hp, SW=SW, rh=rh, rw=rw, IC=IC,
+        )
+        strip.copy_to_host_async()
+        strips.append(strip)
+        del band_slice
+    canvas = np.concatenate([np.asarray(s) for s in strips], axis=1)
+    return canvas[: plan.out_h, : plan.out_w]

@@ -513,8 +513,14 @@ def _stitch_core(imgs, feats, whs_np: np.ndarray, cfg: Config, key,
             n_im, H_im, W_im = imgs.shape[:3]
             paired_gb = n_im * H_im * W_im * 36 / 1e9
             groups = max(2, int(np.ceil(paired_gb / max(budget * 0.25, 0.1))))
-            canvas = blend_linear_host_stream(
-                imgs.host, plan, ordered=cfg.ORDERED_INPUT, groups=groups)
+            if cfg.MULTIBAND > 0:
+                from .multiband import blend_multiband_host_stream
+
+                canvas = blend_multiband_host_stream(
+                    imgs.host, plan, cfg.MULTIBAND, groups=groups)
+            else:
+                canvas = blend_linear_host_stream(
+                    imgs.host, plan, ordered=cfg.ORDERED_INPUT, groups=groups)
             if output == "u8":
                 valid = canvas[..., 0] >= 0
                 u8c = np.clip(np.round(canvas * 255.0), 0, 255).astype(np.uint8)

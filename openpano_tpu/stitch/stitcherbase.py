@@ -214,6 +214,14 @@ class DeferredImages:
         self._grey = dev_grey
         self._res = dev_res
         self._imgs = None
+        if bg is not None and hasattr(bg, "abandon"):
+            # if this wrapper is dropped before get() (stitch raised
+            # between stages, or a caller discarded it), wake the gated
+            # upload thread so it exits instead of parking forever with
+            # its encoded chroma stream pinned
+            import weakref
+
+            weakref.finalize(self, bg.abandon)
 
     def start_background(self):
         """Release the chroma stream onto the wire (called by the

@@ -97,15 +97,9 @@ def main():
         dict(BA_INTERMEDIATE_ITERS=8, BA_BATCH_IMAGES=4),
         dict(BA_INTERMEDIATE_ITERS=15, BA_BATCH_IMAGES=2),
         dict(BA_INTERMEDIATE_ITERS=15, BA_BATCH_IMAGES=4),
-        dict(BA_INTERMEDIATE_ITERS=15, BA_BATCH_IMAGES=2, _ne_f32=True),
     ]
     for over in sweeps:
-        ne_f32 = over.pop("_ne_f32", False)
         c = cfg.replace(**over)
-        if ne_f32:
-            os.environ["OPENPANO_BA_NE_F32"] = "1"
-        else:
-            os.environ.pop("OPENPANO_BA_NE_F32", None)
         stats = {}
         # warm (compile) then timed
         estimate_cameras(graph.conf, graph.homo, graph.to_pos,
@@ -118,7 +112,7 @@ def main():
                                 stats=stats)
         dt = time.perf_counter() - t0
         print(json.dumps({
-            **over, "ne_f32": ne_f32,
+            **over,
             "wall_s": round(dt, 3),
             "lm_iters": stats.get("lm_iters", 0),
             "ba_rms_px": round(stats.get("ba_rms_px", -1), 3),

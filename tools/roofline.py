@@ -74,7 +74,10 @@ def blend_stage(canvas_w: int, canvas_h: int, layers: float = 2.0) -> dict:
     px = canvas_w * canvas_h
     flops = px * layers * 25
     hbm = px * layers * (4 * 3 * 4 + 12)   # 4-tap RGB gather + write
-    wire = px * 4 * 0.7                    # delta-coded u8 RGBA download
+    # download codec (r5, render._strip_planes_u8 + io.wirecodec.CodedFetch):
+    # 4 planes (G, R-G, B-G, A) at 4-bit deltas = 2 B/px packed, plus the
+    # 2% inline exception prefix (4 B each) = ~2.33 B/px on the wire
+    wire = px * (4 * 0.5 + 0.02 * 4 * 4)
     return {"flops": flops, "hbm_bytes": hbm, "wire_bytes": wire}
 
 

@@ -69,13 +69,28 @@ def check(seed: int = 0) -> dict:
 
     ori_rel = stats(ori_main, ori_ref)
     desc_rel = stats(desc_main, desc_ref)
+
+    # resize backend fork (r4, ops/imgproc.py): the TPU path expresses the
+    # bilinear lerp as two HIGHEST-precision matmuls, every other backend
+    # gathers.  Gate their agreement here like the window kernels — this
+    # is the newest numerical fork point on the SIFT input path.
+    from openpano_tpu.ops.imgproc import _resize_gather, resize
+
+    img = jnp.asarray(rng.uniform(0, 1, (257, 389, 3)), jnp.float32)
+    r_main = np.asarray(resize(img, 181, 263))
+    r_ref = np.asarray(jax.jit(
+        _resize_gather, static_argnames=("out_h", "out_w"))(
+            img, out_h=181, out_w=263))
+    resize_rel = stats(r_main, r_ref)
+
     # pure f32 accumulation-order differences only: tight bound
-    ok = ori_rel < 1e-4 and desc_rel < 1e-4
+    ok = ori_rel < 1e-4 and desc_rel < 1e-4 and resize_rel < 1e-4
     return {
         "backend": backend,
         "pallas_active": backend == "tpu",
         "ori_hist_rel_err": round(ori_rel, 8),
         "desc_hist_rel_err": round(desc_rel, 8),
+        "resize_rel_err": round(resize_rel, 8),
         "ok": bool(ok),
     }
 
