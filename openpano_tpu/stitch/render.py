@@ -769,15 +769,21 @@ def blend_linear_sharded(imgs: jnp.ndarray, plan: RenderPlan, ordered: bool,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("proj", "ordered", "TH", "TW", "Hp", "SW", "u8"),
+    static_argnames=("proj", "ordered", "TH", "TW", "Hp", "SW", "u8",
+                     "u8_out"),
 )
 def _host_band_step(band_imgs, idx, rng, org, hinv, whs, proj_min,
                     resolution, halo_c, halo_w, x0,
                     proj: str, ordered: bool, TH: int, TW: int,
-                    Hp: int, SW: int, u8: bool):
+                    Hp: int, SW: int, u8: bool, u8_out: bool = False):
     """One column band of the single-device beyond-HBM blend: accumulate
     the band's jobs from its own (just-uploaded) image slice, fold in the
-    previous band's spill halo, and emit (final strip, next halo)."""
+    previous band's spill halo, and emit (final strip, next halo).
+
+    ``u8_out=True`` emits the strip as the download-codec plane layout
+    (G, R-G, B-G, A stacked rows, _strip_planes_u8 semantics) instead of
+    the f32 canvas — 12 B/px raw f32 would dominate a gigapixel run's
+    wall clock on this wire."""
     band = band_imgs.astype(jnp.float32) / 255.0 if u8 else band_imgs
     paired = pair_imgs_x(band)
     c = jnp.zeros((Hp, SW + TW, 3), jnp.float32)
@@ -787,6 +793,9 @@ def _host_band_step(band_imgs, idx, rng, org, hinv, whs, proj_min,
                        slice_x0=x0)
     c = c.at[:, :TW].add(halo_c)
     w = w.at[:, :TW].add(halo_w)
+    if u8_out:
+        planes = _strip_planes_u8(c, w, jnp.int32(0), Hp, SW)
+        return planes, c[:, SW:], w[:, SW:]
     strip_c, strip_w = c[:, :SW], w[:, :SW]
     has = strip_w > 0
     out = jnp.where(
@@ -797,8 +806,23 @@ def _host_band_step(band_imgs, idx, rng, org, hinv, whs, proj_min,
     return out, c[:, SW:], w[:, SW:]
 
 
+def _device_put_planar_coded(band: np.ndarray):
+    """Upload a [NI, H, W, 3] u8 band slice via the 4-bit wire codec:
+    channel-planar rows ([NI*3*H, W], deltas never cross rows) encode in
+    threaded C, decode on device, reshape back.  Falls back to a raw put
+    when the content defeats the nibble budget."""
+    from ..io.wirecodec import upload_u8_rows
+
+    ni, h, w, _ = band.shape
+    planar = np.ascontiguousarray(np.moveaxis(band, 3, 1)).reshape(-1, w)
+    dev = upload_u8_rows(planar)
+    return jnp.moveaxis(dev.reshape(ni, 3, h, w), 1, 3)
+
+
 def blend_linear_host_stream(imgs: np.ndarray, plan: RenderPlan,
-                             ordered: bool, groups: int) -> np.ndarray:
+                             ordered: bool, groups: int,
+                             u8_out: bool = False,
+                             coded_wire: bool | None = None) -> np.ndarray:
     """Beyond-HBM linear blend on ONE device.
 
     The mesh-sharded blender bounds per-device memory by giving each
@@ -813,7 +837,12 @@ def blend_linear_host_stream(imgs: np.ndarray, plan: RenderPlan,
     README.md:133-136) for image sets larger than one HBM.
 
     imgs: HOST numpy [N, H, W, 3] u8 or f32.  Returns the blended
-    [out_h, out_w, 3] f32 canvas (host, INVALID where empty)."""
+    [out_h, out_w, 3] f32 canvas (host, INVALID where empty) — or, with
+    ``u8_out=True``, a [out_h, out_w, 4] u8 RGBA canvas whose strips
+    cross the wire through the download codec (f32 strips are 12 B/px;
+    coded u8 planes are ~2.3 B/px — the difference IS the wall clock of
+    a gigapixel run).  ``coded_wire`` (default: follow u8_out) also
+    routes the band-slice UPLOADS through the 4-bit codec."""
     G, SW, Hp, Wp, TH, TW, band_jobs = _tile_jobs(
         plan, groups=groups, exact=True
     )
@@ -823,6 +852,8 @@ def blend_linear_host_stream(imgs: np.ndarray, plan: RenderPlan,
                  for b in band_jobs]
     NI = max(len(u) for u in band_imgs)
     u8 = imgs.dtype == np.uint8
+    if coded_wire is None:
+        coded_wire = u8_out and u8
 
     proj_min = jnp.asarray(plan.proj_min, jnp.float32)
     resolution = jnp.asarray(plan.resolution, jnp.float32)
@@ -839,18 +870,31 @@ def blend_linear_host_stream(imgs: np.ndarray, plan: RenderPlan,
         idx[: len(bi)] = np.searchsorted(u, bi)
         rng[: len(bi)] = br
         org[: len(bi)] = bo
-        band_slice = jax.device_put(np.ascontiguousarray(imgs[slot]))
+        band_host = np.ascontiguousarray(imgs[slot])
+        if coded_wire and u8:
+            band_slice = _device_put_planar_coded(band_host)
+        else:
+            band_slice = jax.device_put(band_host)
         strip, halo_c, halo_w = _host_band_step(
             band_slice, jnp.asarray(idx), jnp.asarray(rng),
             jnp.asarray(org), jnp.asarray(plan.homo_invs[slot]),
             jnp.asarray(plan.whs[slot], jnp.float32), proj_min, resolution,
             halo_c, halo_w, jnp.int32(g * SW),
             proj=plan.proj, ordered=ordered, TH=TH, TW=TW, Hp=Hp, SW=SW,
-            u8=u8,
+            u8=u8, u8_out=u8_out,
         )
-        strip.copy_to_host_async()
-        strips.append(strip)
+        if u8_out:
+            from ..io.wirecodec import CodedFetch
+
+            strips.append(CodedFetch(strip))
+        else:
+            strip.copy_to_host_async()
+            strips.append(strip)
         del band_slice
+    if u8_out:
+        parts = [_planes_to_rgba(s.wait(), Hp) for s in strips]
+        canvas = np.concatenate(parts, axis=1)
+        return canvas[: plan.out_h, : plan.out_w]
     canvas = np.concatenate([np.asarray(s) for s in strips], axis=1)
     return canvas[: plan.out_h, : plan.out_w]
 

@@ -135,3 +135,125 @@ def gt_pair_homography(truth: dict, i: int, j: int, out_w: int, out_h: int) -> n
     ])
     H = K @ R @ np.linalg.inv(K)
     return H / H[2, 2]
+
+
+def serpentine_rotations(cols: int, rows: int, yaw_step: float,
+                         pitch_step: float):
+    """Rotation matrices for a yaw x pitch grid visited in serpentine
+    order (consecutive entries always overlap — the ordered-input ring
+    the stitcher's linear matching assumes).  R = R_yaw @ R_pitch (pitch
+    applied in the camera's local frame).  Returns ([n,3,3], meta)."""
+    Rs = []
+    order = []
+    for r in range(rows):
+        cs = range(cols) if r % 2 == 0 else range(cols - 1, -1, -1)
+        for c in cs:
+            order.append((r, c))
+            yaw = c * yaw_step
+            pitch = (r - (rows - 1) / 2) * pitch_step
+            cy, sy = np.cos(yaw), np.sin(yaw)
+            cp, sp = np.cos(pitch), np.sin(pitch)
+            Ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+            Rx = np.array([[1, 0, 0], [0, cp, -sp], [0, sp, cp]])
+            Rs.append(Ry @ Rx)
+    return np.stack(Rs), order
+
+
+def render_views_sphere(scene_eq: np.ndarray, rotations: np.ndarray,
+                        out_w: int, out_h: int, f: float,
+                        dtype=np.uint8) -> np.ndarray:
+    """Render views of an equirectangular scene with arbitrary camera
+    rotations — the general rotational-pano imaging model (ground-truth
+    pair homography: H_ij = K R_i^T R_j K^-1).
+
+    scene_eq: [He, We, 3] float32 in [0,1], theta in [-pi, pi) over We,
+    phi over [-phi_max, phi_max] rows.  Returns [n, out_h, out_w, 3]."""
+    he, we = scene_eq.shape[:2]
+    n = rotations.shape[0]
+    u = np.arange(out_w) - (out_w - 1) / 2.0
+    v = np.arange(out_h) - (out_h - 1) / 2.0
+    uu, vv = np.meshgrid(u, v)
+    rays = np.stack([uu, vv, np.full_like(uu, f)], axis=-1)  # [H,W,3]
+    phi_max = np.pi * he / we  # square pixels: phi rows at theta's rad/px
+    out = np.empty((n, out_h, out_w, 3), dtype)
+    for k in range(n):
+        d = rays @ rotations[k].T
+        theta = np.arctan2(d[..., 0], d[..., 2])
+        phi = np.arctan2(d[..., 1], np.hypot(d[..., 0], d[..., 2]))
+        sx = (theta / (2 * np.pi) + 0.5) * we          # wraps
+        sy = (phi / (2 * phi_max) + 0.5) * (he - 1)
+        x0 = np.floor(sx).astype(np.int64)
+        y0 = np.clip(np.floor(sy).astype(np.int64), 0, he - 2)
+        fx = (sx - x0)[..., None]
+        fy = np.clip(sy - y0, 0, 1)[..., None]
+        xa = x0 % we
+        xb = (x0 + 1) % we
+        img = (
+            scene_eq[y0, xa] * (1 - fy) * (1 - fx)
+            + scene_eq[y0, xb] * (1 - fy) * fx
+            + scene_eq[y0 + 1, xa] * fy * (1 - fx)
+            + scene_eq[y0 + 1, xb] * fy * fx
+        )
+        if dtype == np.uint8:
+            out[k] = np.round(img * 255.0)
+        else:
+            out[k] = img
+    return out
+
+
+def gt_rot_pair_homography(f: float, R_i: np.ndarray, R_j: np.ndarray):
+    """H mapping half-shifted coords of view j into view i for general
+    rotations: H = K R_i^T R_j K^-1."""
+    K = np.array([[f, 0, 0], [0, f, 0], [0, 0, 1.0]])
+    H = K @ R_i.T @ R_j @ np.linalg.inv(K)
+    return H / H[2, 2]
+
+
+def procedural_scene_large(h: int, w: int, seed: int = 0) -> np.ndarray:
+    """Corner-rich texture that scales to equirect-panorama sizes
+    (procedural_scene's per-shape full-canvas masks are O(shapes * h * w)
+    — hopeless at 500 Mpx).  Fully vectorized: multi-octave value noise
+    for low-frequency content + a POSTERIZED independent noise field
+    (random 24-color palette, hard edges at every cell boundary — corner
+    features at triple points for SIFT), float32 in [0,1]."""
+    rng = np.random.default_rng(seed)
+    img = np.zeros((h, w, 3), np.float32)
+    for octave in range(3, 8):
+        gh, gw = h // 2 ** octave + 2, w // 2 ** octave + 2
+        grid = rng.uniform(size=(gh, gw, 3)).astype(np.float32)
+        ys = np.linspace(0, gh - 1.001, h)
+        xs = np.linspace(0, gw - 1.001, w)
+        y0 = ys.astype(int)
+        x0 = xs.astype(int)
+        fy = (ys - y0)[:, None, None].astype(np.float32)
+        fx = (xs - x0)[None, :, None].astype(np.float32)
+        up = (
+            grid[y0][:, x0] * (1 - fy) * (1 - fx)
+            + grid[y0][:, x0 + 1] * (1 - fy) * fx
+            + grid[y0 + 1][:, x0] * fy * (1 - fx)
+            + grid[y0 + 1][:, x0 + 1] * fy * fx
+        )
+        img += up * (0.5 ** (8 - octave))
+    img /= img.max()
+    # posterized cell field: three mid-frequency octaves -> 32-color
+    # palette — hard high-contrast edges at every cell boundary (corners
+    # at triple points; 16-64 px cells survive the SIFT working resize)
+    cell = np.zeros((h, w), np.float32)
+    for octave in (4, 5, 6):
+        gh, gw = h // 2 ** octave + 2, w // 2 ** octave + 2
+        grid = rng.uniform(size=(gh, gw)).astype(np.float32)
+        ys = np.linspace(0, gh - 1.001, h)
+        xs = np.linspace(0, gw - 1.001, w)
+        y0 = ys.astype(int)
+        x0 = xs.astype(int)
+        fy = (ys - y0)[:, None].astype(np.float32)
+        fx = (xs - x0)[None, :].astype(np.float32)
+        cell += (
+            grid[y0][:, x0] * (1 - fy) * (1 - fx)
+            + grid[y0][:, x0 + 1] * (1 - fy) * fx
+            + grid[y0 + 1][:, x0] * fy * (1 - fx)
+            + grid[y0 + 1][:, x0 + 1] * fy * fx
+        )
+    palette = rng.uniform(0.0, 1.0, size=(32, 3)).astype(np.float32)
+    idx = np.clip((cell * 11).astype(np.int32), 0, 31)
+    return np.clip(0.2 * img + 0.8 * palette[idx], 0, 1)

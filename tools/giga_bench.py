@@ -64,7 +64,22 @@ def main() -> None:
     ap.add_argument("--working-size", type=int, default=800,
                     help="SIFT_WORKING_SIZE (large-n CPU runs want smaller)")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--mode", choices=("trans", "rot"), default="trans")
+    ap.add_argument("--grid", type=int, nargs=2, default=(62, 8),
+                    metavar=("COLS", "ROWS"), help="rot mode: yaw x pitch")
+    ap.add_argument("--focal", type=float, default=12000.0)
+    ap.add_argument("--pitch-px", type=float, default=770.0,
+                    help="rot mode: vertical canvas step per pitch row")
+    ap.add_argument("--no-cache", action="store_true")
+    ap.add_argument("--multipass", type=int, default=1,
+                    help="rot mode: MULTIPASS_BA level (1 = incremental; "
+                         "the banded chain solver keeps n~500 tractable)")
     args = ap.parse_args()
+    if args.mode == "rot":
+        if tuple(args.size) == (1300, 560):
+            args.size = (2200, 1400)   # rot default: narrow-fov tall views
+        run_rot(args)
+        return
 
     import jax
     import numpy as np
@@ -124,5 +139,123 @@ def main() -> None:
         print(f"# wrote {args.out}", file=sys.stderr)
 
 
+
+
+def run_rot(args) -> None:
+    """Rotational 2-D gigapixel config (BASELINE.md "500-image gigapixel
+    pano with ... BA"): a yaw x pitch serpentine grid of ~500 narrow-fov
+    views rendered from an equirectangular synthetic scene, stitched in
+    ESTIMATE_CAMERA mode (ring matching, MULTIPASS_BA=0 global BA — the
+    banded chain solver makes the n~500 LM tractable, camera/banded.py),
+    blended beyond-HBM (host band stream, coded wire both directions).
+
+    Canvas: ~2*pi*f x vertical-span px — f=12000 lands ~75k x ~6.8k
+    (~510 Mpx) against the reference's 80000 px / 1e9 px guards
+    (stitcher_image.cc:105-106)."""
+    import jax
+    import numpy as np
+
+    from openpano_tpu import Config
+    from openpano_tpu.stitch.stitcher import stitch
+    from openpano_tpu.synth import (
+        gt_rot_pair_homography,
+        procedural_scene_large,
+        render_views_sphere,
+        serpentine_rotations,
+    )
+    from openpano_tpu.utils import timer
+
+    cols, rows = args.grid
+    n = cols * rows
+    w, h = args.size
+    f = args.focal
+    yaw_step = 2 * np.pi / cols            # full-circle wrap
+    pitch_step = args.pitch_px / f
+    cache = f"/tmp/giga_rot_views_{cols}x{rows}_{w}x{h}_{f}.npy"
+    if os.path.exists(cache) and not args.no_cache:
+        views8 = np.load(cache, mmap_mode="r")
+        views8 = np.ascontiguousarray(views8)
+        Rs, _ = serpentine_rotations(cols, rows, yaw_step, pitch_step)
+        print(f"# views from cache {cache}", file=sys.stderr)
+    else:
+        t0 = time.time()
+        phi_need = (rows / 2) * pitch_step + np.arctan((h / 2) / f) + 0.03
+        # scene at HALF the view angular resolution: the SIFT working
+        # resize (~2.25x down) sits below even the halved Nyquist, and
+        # the 625-Mpx full-res scene build alone took 47 min (measured)
+        we = int(np.pi * f) // 2 * 2
+        he = int(we * (2 * phi_need) / (2 * np.pi)) // 2 * 2
+        print(f"# scene {he}x{we} ...", file=sys.stderr)
+        scene = procedural_scene_large(he, we, seed=11)
+        print(f"# scene built in {time.time()-t0:.0f}s; rendering {n} views",
+              file=sys.stderr)
+        Rs, _ = serpentine_rotations(cols, rows, yaw_step, pitch_step)
+        views8 = render_views_sphere(scene, Rs, w, h, f)
+        del scene
+        if not args.no_cache:
+            np.save(cache, views8)
+        print(f"# views ready in {time.time()-t0:.0f}s", file=sys.stderr)
+
+    cfg = Config(
+        ESTIMATE_CAMERA=True, ORDERED_INPUT=True,
+        MULTIPASS_BA=args.multipass,
+        MAX_OUTPUT_SIZE=79000,
+        MAX_KP_PER_IMAGE=1024, MAX_MATCHES_PER_PAIR=512,
+        SIFT_WORKING_SIZE=args.working_size,
+    )
+    mesh = None
+    if args.mesh:
+        from openpano_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.mesh)
+
+    timer.reset()
+    info = {}
+    t0 = time.time()
+    out, valid = stitch(views8, cfg, key=jax.random.PRNGKey(0),
+                        output="u8", mesh=mesh, info_out=info)
+    dt = time.time() - t0
+
+    # camera sanity vs ground truth on consecutive pairs
+    homos = info.get("homos")
+    errs = []
+    if homos is not None:
+        gx, gy = np.meshgrid(np.linspace(-w * 0.4, w * 0.4, 7),
+                             np.linspace(-h * 0.4, h * 0.4, 5))
+        grid = np.stack([gx.ravel(), gy.ravel(), np.ones(gx.size)], 1)
+        for i in range(n - 1):
+            H_est = np.linalg.inv(homos[i]) @ homos[i + 1]
+            H_gt = gt_rot_pair_homography(f, Rs[i], Rs[i + 1])
+            pe = grid @ H_est.T
+            pg = grid @ H_gt.T
+            errs.append(np.linalg.norm(
+                pe[:, :2] / pe[:, 2:3] - pg[:, :2] / pg[:, 2:3],
+                axis=1).mean())
+    mp = out.shape[0] * out.shape[1] / 1e6
+    import resource
+
+    print(json.dumps({
+        "mode": "rot-gigapixel",
+        "images": n,
+        "grid": [cols, rows],
+        "canvas": [int(out.shape[1]), int(out.shape[0])],
+        "megapixels": round(mp, 1),
+        "valid_megapixels": round(mp * float(valid.mean()), 1),
+        "valid_frac": round(float(valid.mean()), 3),
+        "wall_s": round(dt, 3),
+        "img_per_s": round(n / dt, 2),
+        "mean_reproj_err_px": round(float(np.mean(errs)), 3) if errs else None,
+        "lm_iters": info.get("lm_iters"),
+        "mesh": args.mesh or 1,
+        "peak_host_rss_gb": round(
+            resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6, 2),
+        "stage_s": {k: round(s, 3) for k, (_, s) in sorted(
+            timer.totals().items(), key=lambda kv: -kv[1][1]) if s > 0.01},
+    }))
+    if args.out:
+        from openpano_tpu.io import write_rgb
+
+        write_rgb(args.out, out[::8, ::8])
+        print(f"# wrote {args.out} (1/8 scale)", file=sys.stderr)
 if __name__ == "__main__":
     main()

@@ -28,12 +28,18 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def build_problem():
-    """Deterministic small BA problem (shared with the parent test)."""
+def build_problem(n: int | None = None):
+    """Deterministic ring BA problem (shared with the parent test).
+    ``n`` (or $OPENPANO_MP_N) scales the camera count — n=500 exercises
+    the BASELINE.md "500-image ... distributed BA across >= 2 hosts"
+    configuration: ring pairs at P=n-1 slots, psum'd JtJ, and the banded
+    chain solver in place of the dense 6n^3 factorization."""
     import numpy as np
 
+    if n is None:
+        n = int(os.environ.get("OPENPANO_MP_N", "6"))
+    M, f = 64, 500.0
     rng = np.random.default_rng(7)
-    n, M, f = 6, 64, 500.0
 
     def rot(th):
         return np.array([
@@ -41,7 +47,8 @@ def build_problem():
             [-np.sin(th), 0, np.cos(th)],
         ])
 
-    Rs = [rot(0.3 * (i - n / 2)) for i in range(n)]
+    step = min(0.3, 2 * np.pi / max(n, 12) * 0.9)
+    Rs = [rot(step * (i - n / 2)) for i in range(n)]
     K = np.diag([f, f, 1.0])
     pairs = [(i, i + 1) for i in range(n - 1)]
     P = len(pairs)
@@ -63,13 +70,13 @@ def build_problem():
     return n, pairs, params, pt_to, pt_from, w
 
 
-def solve(mesh):
+def solve(mesh, n: int | None = None):
     import jax.numpy as jnp
 
     from openpano_tpu.camera.bundle_adjuster import BAPairProblem
     from openpano_tpu.parallel.dist_ba import ba_optimize_pairs_sharded
 
-    n, pairs, params, pt_to, pt_from, w = build_problem()
+    n, pairs, params, pt_to, pt_from, w = build_problem(n)
     prob = BAPairProblem(
         pt_to=jnp.asarray(pt_to), pt_from=jnp.asarray(pt_from),
         w=jnp.asarray(w),
@@ -78,7 +85,8 @@ def solve(mesh):
         swapped=jnp.zeros(len(pairs), bool),
         pair_w=jnp.ones(len(pairs)),
     )
-    return ba_optimize_pairs_sharded(params, prob, 0, n, 5.0, mesh)
+    return ba_optimize_pairs_sharded(params, prob, 0, n, 5.0, mesh,
+                                     banded=n >= 100)
 
 
 def main():
@@ -94,9 +102,14 @@ def main():
     import numpy as np
 
     mesh = make_mesh()
+    import time
+
+    t0 = time.perf_counter()
     out = np.asarray(solve(mesh))  # replicated -> addressable everywhere
+    dt = time.perf_counter() - t0
     print(f"MPRESULT pid={pid} ndev={ndev} "
-          f"sum={out.sum():.12e} focal0={out[0, 0]:.9f}", flush=True)
+          f"sum={out.sum():.12e} focal0={out[0, 0]:.9f} "
+          f"wall={dt:.3f} focal_mean={out[:, 0].mean():.4f}", flush=True)
 
 
 if __name__ == "__main__":
