@@ -449,11 +449,20 @@ def _pairs_residuals(params, prob: BAPairProblem):
 # Anyone revisiting this must first rescale the problem (coords / focal).
 
 
-def _pairs_ne_blocks(params, resid_w, prob: BAPairProblem):
+def _pairs_ne_blocks(params, resid_w, prob: BAPairProblem, upd=None):
     """Per-pair normal-equation blocks: Bp [P,12,12], bp [P,12] in
     [from(6) | to(6)] row order, plus the effective camera rows (F, Tc).
     Shared by the dense scatter assembly (_pairs_normal_equations) and
-    the banded chain assembly (banded.assemble_banded)."""
+    the banded chain assembly (banded.assemble_banded).
+
+    ``upd`` ([n,6], 0 = frozen parameter) zeroes the corresponding
+    Jacobian COLUMNS — the identity camera's rotation freeze belongs
+    INSIDE the solve (the reference never adds those columns to J,
+    incremental_bundle_adjuster.cc:144-148).  Masking the solved delta
+    instead produces inconsistent coupled steps when the frozen camera
+    carries gradient (measured: a Gauss-Newton step that cuts RMS 8.0 ->
+    0.9 unmasked LOSES ground, 8.0 -> 10.6, when its identity-rotation
+    component is zeroed after the fact)."""
     out_dtype = params.dtype
     pt_to, _, wm, F, Tc = _pairs_eff(prob)
     H, dH = _rows_H_dH(params, F, Tc)
@@ -472,15 +481,19 @@ def _pairs_ne_blocks(params, resid_w, prob: BAPairProblem):
 
     P, M = wm.shape
     Jf = Jp.reshape(P, M * 2, 12)
+    if upd is not None:
+        m12 = jnp.concatenate([upd[F], upd[Tc]], axis=-1)  # [P,12]
+        Jf = Jf * m12[:, None, :]
     rw = resid_w.reshape(P, M * 2)
     Bp = jnp.einsum("pti,ptj->pij", Jf, Jf).astype(out_dtype)  # [P,12,12]
     bp = jnp.einsum("pti,pt->pi", Jf, rw).astype(out_dtype)
     return Bp, bp, F, Tc
 
 
-def _pairs_normal_equations(params, resid_w, prob: BAPairProblem, n_cam):
+def _pairs_normal_equations(params, resid_w, prob: BAPairProblem, n_cam,
+                            upd=None):
     """JtJ [6n,6n], Jtb [6n] — per-pair blocks via batched matmul."""
-    Bp, bp, F, Tc = _pairs_ne_blocks(params, resid_w, prob)
+    Bp, bp, F, Tc = _pairs_ne_blocks(params, resid_w, prob, upd)
     n6 = n_cam * 6
     offs = jnp.arange(6)
     rows = jnp.concatenate([F[:, None] * 6 + offs, Tc[:, None] * 6 + offs], 1)
@@ -564,13 +577,20 @@ def _lm_while(flat0, prob: BAPairProblem, n_cam: int, identity_idx,
         _, _, _, nr_nd, itr, _ = carry
         return (itr < max_iter) & (nr_nd <= patience)
 
+    upd2d = upd_mask.reshape(n_cam, 6)
+
     def body(carry):
         best_flat, resid, best_err, nr_nd, itr, lam = carry
+        # frozen parameters (identity camera's rotation) are zeroed as
+        # Jacobian COLUMNS, so the solve itself honors the constraint —
+        # the damped diagonal keeps those rows invertible and their delta
+        # exactly 0 (the post-solve mask below is then a no-op kept as a
+        # belt-and-suspenders guard)
         if banded:
             from .banded import assemble_banded, solve_block_cyclic
 
             Bp, bp, F, Tc = _pairs_ne_blocks(
-                best_flat.reshape(n_cam, 6), resid, prob
+                best_flat.reshape(n_cam, 6), resid, prob, upd2d
             )
             D, U, C, rhs = assemble_banded(Bp, bp, F, Tc, n_cam)
             dvec = (damp_unit * lam).reshape(n_cam, 6)
@@ -578,7 +598,7 @@ def _lm_while(flat0, prob: BAPairProblem, n_cam: int, identity_idx,
             delta = solve_block_cyclic(D, U, C, rhs).reshape(-1)
         else:
             JtJ, Jtb = _pairs_normal_equations(
-                best_flat.reshape(n_cam, 6), resid, prob, n_cam
+                best_flat.reshape(n_cam, 6), resid, prob, n_cam, upd2d
             )
             A = JtJ + jnp.diag(damp_unit * lam)
             delta = _lm_solve(A, Jtb, device_solver)

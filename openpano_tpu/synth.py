@@ -235,25 +235,35 @@ def procedural_scene_large(h: int, w: int, seed: int = 0) -> np.ndarray:
         )
         img += up * (0.5 ** (8 - octave))
     img /= img.max()
-    # posterized cell field: three mid-frequency octaves -> 32-color
-    # palette — hard high-contrast edges at every cell boundary (corners
-    # at triple points; 16-64 px cells survive the SIFT working resize)
-    cell = np.zeros((h, w), np.float32)
-    for octave in (4, 5, 6):
-        gh, gw = h // 2 ** octave + 2, w // 2 ** octave + 2
-        grid = rng.uniform(size=(gh, gw)).astype(np.float32)
-        ys = np.linspace(0, gh - 1.001, h)
-        xs = np.linspace(0, gw - 1.001, w)
-        y0 = ys.astype(int)
-        x0 = xs.astype(int)
-        fy = (ys - y0)[:, None].astype(np.float32)
-        fx = (xs - x0)[None, :].astype(np.float32)
-        cell += (
-            grid[y0][:, x0] * (1 - fy) * (1 - fx)
-            + grid[y0][:, x0 + 1] * (1 - fy) * fx
-            + grid[y0 + 1][:, x0] * fy * (1 - fx)
-            + grid[y0 + 1][:, x0 + 1] * fy * fx
-        )
-    palette = rng.uniform(0.0, 1.0, size=(32, 3)).astype(np.float32)
-    idx = np.clip((cell * 11).astype(np.int32), 0, 31)
-    return np.clip(0.2 * img + 0.8 * palette[idx], 0, 1)
+    # posterized cell fields: hard high-contrast edges at every cell
+    # boundary (corners at triple points; 16-64 px cells survive the SIFT
+    # working resize).  TWO independent posterize fields combine into
+    # ~1000 distinct junction colorings — one 32-color field alone makes
+    # the cell junctions so self-similar that the matcher's ratio test
+    # rejects nearly everything (measured: 29 raw 2-NN matches on a
+    # 37%-overlap pair with 1024 keypoints each).
+    def _poster(octaves, seed_off):
+        r2 = np.random.default_rng(seed + seed_off)
+        cell = np.zeros((h, w), np.float32)
+        for octave in octaves:
+            gh, gw = h // 2 ** octave + 2, w // 2 ** octave + 2
+            grid = r2.uniform(size=(gh, gw)).astype(np.float32)
+            ys = np.linspace(0, gh - 1.001, h)
+            xs = np.linspace(0, gw - 1.001, w)
+            y0 = ys.astype(int)
+            x0 = xs.astype(int)
+            fy = (ys - y0)[:, None].astype(np.float32)
+            fx = (xs - x0)[None, :].astype(np.float32)
+            cell += (
+                grid[y0][:, x0] * (1 - fy) * (1 - fx)
+                + grid[y0][:, x0 + 1] * (1 - fy) * fx
+                + grid[y0 + 1][:, x0] * fy * (1 - fx)
+                + grid[y0 + 1][:, x0 + 1] * fy * fx
+            )
+        return cell
+
+    pal_a = rng.uniform(0.0, 1.0, size=(32, 3)).astype(np.float32)
+    pal_b = rng.uniform(-0.5, 0.5, size=(32, 3)).astype(np.float32)
+    ia = np.clip((_poster((4, 5, 6), 1000) * 11).astype(np.int32), 0, 31)
+    ib = np.clip((_poster((5, 6, 7), 2000) * 11).astype(np.int32), 0, 31)
+    return np.clip(0.2 * img + 0.8 * (pal_a[ia] + pal_b[ib] * 0.7), 0, 1)

@@ -67,6 +67,10 @@ def build_problem(n: int | None = None):
 
     for i in range(n):
         params[i, 3:6] = _np_unrod(Rs[i])
+    # perturb rotations so the LM has real correction work (pure-focal
+    # error at tiny ring baselines sits below the 1e-3 acceptance rule)
+    params[:, 3:6] += rng.normal(scale=2e-3, size=(n, 3))
+    params[0, 3:6] = _np_unrod(Rs[0])   # identity camera stays frozen
     return n, pairs, params, pt_to, pt_from, w
 
 
@@ -107,9 +111,32 @@ def main():
     t0 = time.perf_counter()
     out = np.asarray(solve(mesh))  # replicated -> addressable everywhere
     dt = time.perf_counter() - t0
+    # initial vs final weighted RMS: evidence the distributed LM optimized
+    import jax.numpy as jnp
+
+    from openpano_tpu.camera.bundle_adjuster import (
+        BAPairProblem, _pairs_residuals,
+    )
+
+    n, pairs, params0, pt_to, pt_from, w = build_problem()
+    prob = BAPairProblem(
+        pt_to=jnp.asarray(pt_to), pt_from=jnp.asarray(pt_from),
+        w=jnp.asarray(w),
+        cam_to=jnp.asarray([q[0] for q in pairs], jnp.int32),
+        cam_from=jnp.asarray([q[1] for q in pairs], jnp.int32),
+        swapped=jnp.zeros(len(pairs), bool),
+        pair_w=jnp.ones(len(pairs)),
+    )
+
+    def rms(pp):
+        r, wm = _pairs_residuals(jnp.asarray(pp), prob)
+        npts = float(np.asarray((wm > 0).sum())) * 2.0
+        return float(np.sqrt(np.asarray((r * r)).sum() / max(npts, 1.0)))
+
     print(f"MPRESULT pid={pid} ndev={ndev} "
           f"sum={out.sum():.12e} focal0={out[0, 0]:.9f} "
-          f"wall={dt:.3f} focal_mean={out[:, 0].mean():.4f}", flush=True)
+          f"wall={dt:.3f} focal_mean={out[:, 0].mean():.4f} "
+          f"rms0={rms(params0):.4f} rms1={rms(out):.4f}", flush=True)
 
 
 if __name__ == "__main__":
