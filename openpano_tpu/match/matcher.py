@@ -166,13 +166,48 @@ def match_all_pairs(desc: jnp.ndarray, valid: jnp.ndarray, cfg: Config) -> Match
     return chunked_vmap(one, (jnp.asarray(ii), jnp.asarray(jj)), chunk=32)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
 def match_ring_pairs(desc: jnp.ndarray, valid: jnp.ndarray, cfg: Config) -> MatchResult:
     """All (i, (i+1) mod n) pairs including the head-tail wrap — the ordered
     path of Stitcher::linear_pairwise_match (stitch/stitcher.cc:116-136),
-    where the wrap pair is allowed to fail.  One fused dispatch."""
+    where the wrap pair is allowed to fail.  NOT jitted as a whole: the
+    chunk loop below must stay a host loop so each chunk's distance batch
+    is released before the next dispatches.
+
+    The vmapped dispatch materializes a [pairs, K, K] f32 distance batch;
+    at giga scale (n~500, K=2048) that is ~8 GB, which OOMs a 16 GB chip
+    alongside the descriptor set (observed r4) — so the ring is matched in
+    chunks bounded to ~1.5 GB of distance matrices (at most two compiled
+    shapes: full chunk + remainder)."""
+    n = desc.shape[0]
+    K = desc.shape[1]
+    chunk = max(1, int((1.5 * 2**30) // (K * K * 4)))
+    if chunk >= n:
+        return _match_ring_all(desc, valid, cfg)
+    parts = []
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        parts.append(_match_ring_chunk(
+            desc, valid, jnp.arange(lo, hi), cfg))
+        jax.block_until_ready(parts[-1])  # bound live distance batches
+    return jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs, axis=0), *parts)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _match_ring_all(desc, valid, cfg: Config) -> MatchResult:
     n = desc.shape[0]
     ii = jnp.arange(n)
+    jj = (ii + 1) % n
+
+    def one(i, j):
+        return match_pair(desc[i], valid[i], desc[j], valid[j], cfg)
+
+    return jax.vmap(one)(ii, jj)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _match_ring_chunk(desc, valid, ii, cfg: Config) -> MatchResult:
+    n = desc.shape[0]
     jj = (ii + 1) % n
 
     def one(i, j):

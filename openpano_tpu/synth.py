@@ -262,8 +262,13 @@ def procedural_scene_large(h: int, w: int, seed: int = 0) -> np.ndarray:
             )
         return cell
 
+    # cell octaves start at 5 (32 px): octave-4 cells made the texture SO
+    # corner-dense that the per-octave candidate caps saturated in scan
+    # order and every view kept only top-of-image keypoints (a 1024-cap
+    # view had 0% of its keypoints in the bottom overlap strip) — the
+    # same order-biased truncation the reference's capacity caps exhibit
     pal_a = rng.uniform(0.0, 1.0, size=(32, 3)).astype(np.float32)
     pal_b = rng.uniform(-0.5, 0.5, size=(32, 3)).astype(np.float32)
-    ia = np.clip((_poster((4, 5, 6), 1000) * 11).astype(np.int32), 0, 31)
-    ib = np.clip((_poster((5, 6, 7), 2000) * 11).astype(np.int32), 0, 31)
+    ia = np.clip((_poster((6, 7), 1000) * 16).astype(np.int32), 0, 31)
+    ib = np.clip((_poster((7, 8), 2000) * 16).astype(np.int32), 0, 31)
     return np.clip(0.2 * img + 0.8 * (pal_a[ia] + pal_b[ib] * 0.7), 0, 1)

@@ -193,3 +193,25 @@ class TestRansac:
             jax.random.PRNGKey(2), CFG, affine=False,
         )
         assert int(info.count) == 0
+
+
+class TestRingChunking:
+    def test_chunked_ring_equals_single_dispatch(self):
+        """The giga-scale chunked ring match must equal the one-dispatch
+        path exactly (chunking only bounds live distance batches)."""
+        from openpano_tpu.match import matcher
+
+        rng = np.random.default_rng(5)
+        n, K, D = 7, 64, 128
+        desc = jnp.asarray(rng.normal(size=(n, K, D)).astype(np.float32))
+        valid = jnp.asarray(rng.random((n, K)) < 0.8)
+        cfg = Config(MAX_MATCHES_PER_PAIR=32)
+        ref = matcher._match_ring_all(desc, valid, cfg)
+        parts = [matcher._match_ring_chunk(
+                     desc, valid, jnp.arange(lo, min(lo + 3, n)), cfg)
+                 for lo in range(0, n, 3)]
+        out = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *parts)
+        for a, b in zip(jax.tree_util.tree_leaves(ref),
+                        jax.tree_util.tree_leaves(out)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -61,8 +61,8 @@ def main() -> None:
     ap.add_argument("--overlap", type=float, default=0.4)
     ap.add_argument("--mesh", type=int, default=0,
                     help="shard the pipeline over the first N devices")
-    ap.add_argument("--working-size", type=int, default=800,
-                    help="SIFT_WORKING_SIZE (large-n CPU runs want smaller)")
+    ap.add_argument("--working-size", type=int, default=640,
+                    help="SIFT_WORKING_SIZE (large-n runs want smaller)")
     ap.add_argument("--out", default=None)
     ap.add_argument("--mode", choices=("trans", "rot"), default="trans")
     ap.add_argument("--grid", type=int, nargs=2, default=(62, 8),
@@ -196,11 +196,17 @@ def run_rot(args) -> None:
             np.save(cache, views8)
         print(f"# views ready in {time.time()-t0:.0f}s", file=sys.stderr)
 
+    # keypoint capacity: the corner-dense synthetic needs headroom or the
+    # per-octave caps truncate candidates in scan order and every view
+    # keeps only top-of-image keypoints (vertical grid pairs then cannot
+    # match — measured: y_max 491 of 1400 at cap 1024, 8 raw matches)
     cfg = Config(
         ESTIMATE_CAMERA=True, ORDERED_INPUT=True,
         MULTIPASS_BA=args.multipass,
         MAX_OUTPUT_SIZE=79000,
-        MAX_KP_PER_IMAGE=1024, MAX_MATCHES_PER_PAIR=512,
+        MAX_KP_PER_IMAGE=2048, MAX_MATCHES_PER_PAIR=512,
+        MAX_CAND_PER_OCTAVE=4096, MAX_KP_PER_OCTAVE=2048,
+        MAX_DESC_PER_OCTAVE=2048,
         SIFT_WORKING_SIZE=args.working_size,
     )
     mesh = None
