@@ -117,10 +117,23 @@ def main():
         pair_w=jnp.ones(Pb),
     )
     params = jnp.asarray(rng.uniform(500, 900, (n_cams, 6)))
-    lowered = jax.jit(
-        lambda pr, pa: ba_optimize_pairs_sharded(
-            pa, pr, jnp.asarray(0), n_cams, 5.0, mesh, max_iter=20)
-    ).lower(prob, params)
+    # lower the inner LM jit with EXPLICITLY pair-sharded avals — wrapping
+    # the eager dist entry in another jit leaves the inputs unconstrained
+    # and GSPMD then legally picks full replication (zero collectives),
+    # which is not what the production path runs
+    from openpano_tpu.camera.bundle_adjuster import ba_optimize_pairs
+
+    pair_sh = NamedSharding(mesh, P("d"))
+    repl = NamedSharding(mesh, P())
+
+    def aval(x, sh):
+        return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sh)
+
+    prob_avals = BAPairProblem(*(aval(leaf, pair_sh) for leaf in prob))
+    lowered = ba_optimize_pairs.lower(
+        aval(params, repl), prob_avals,
+        jax.ShapeDtypeStruct((), jnp.int32, sharding=repl),
+        n_cams, 5.0, max_iter=20)
     hlo = lowered.compile().as_text()
     ba_coll = collective_bytes(hlo)
     doc["dist_ba"] = {
@@ -174,7 +187,7 @@ def main():
         "collective_bytes_per_device": blend_coll,
         "canvas_bytes_total": int(canvas_bytes),
         "per_device_compute_frac": 1.0 / nd,
-        "halo_formula": f"2 x Hp({Hp}) x TW({TW}) x (3+1) x 4B",
+        "halo_formula": f"Hp({Hp}) x TW({TW}) x (3+1) x 4B",
         "note": "one rightward collective-permute of the accumulator halo "
                 "regardless of device count",
     }
@@ -185,8 +198,8 @@ def main():
     # once per LM iteration (677 iters on the headline, BENCH_r04/r05).
     DCN = 12.5e9
     ba_iter_bytes = sum(ba_coll.values())
-    lm_iters = 677
-    stage_comp = {"feature": 0.87, "match": 0.53, "ba": 1.0, "blend": 0.55}
+    lm_iters = 200   # headline iterations after the r5 freeze-inside-solve fix
+    stage_comp = {"feature": 0.9, "match": 0.53, "ba": 0.62, "blend": 0.8}
     comm_s = (ba_iter_bytes * lm_iters + sum(blend_coll.values())
               + desc_bytes) / DCN
     comp_1host = sum(stage_comp.values())
