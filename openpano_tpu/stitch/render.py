@@ -887,12 +887,19 @@ def blend_linear_host_stream(imgs: np.ndarray, plan: RenderPlan,
             from ..io.wirecodec import CodedFetch
 
             strips.append(CodedFetch(strip))
+            # drain with a one-band lag: wait() releases the previous
+            # band's plane + wire device buffers while this band's jobs
+            # execute — without it 16+ bands of retained strip planes
+            # exhaust HBM on the gigapixel config
+            if len(strips) >= 2 and strips[-2] is not None:
+                strips[-2] = _planes_to_rgba(strips[-2].wait(), Hp)
         else:
             strip.copy_to_host_async()
             strips.append(strip)
         del band_slice
     if u8_out:
-        parts = [_planes_to_rgba(s.wait(), Hp) for s in strips]
+        parts = [s if isinstance(s, np.ndarray)
+                 else _planes_to_rgba(s.wait(), Hp) for s in strips]
         canvas = np.concatenate(parts, axis=1)
         return canvas[: plan.out_h, : plan.out_w]
     canvas = np.concatenate([np.asarray(s) for s in strips], axis=1)

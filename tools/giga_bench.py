@@ -64,7 +64,8 @@ def main() -> None:
     ap.add_argument("--working-size", type=int, default=640,
                     help="SIFT_WORKING_SIZE (large-n runs want smaller)")
     ap.add_argument("--out", default=None)
-    ap.add_argument("--mode", choices=("trans", "rot"), default="trans")
+    ap.add_argument("--mode", choices=("trans", "rot", "trans2d"),
+                    default="trans")
     ap.add_argument("--grid", type=int, nargs=2, default=(62, 8),
                     metavar=("COLS", "ROWS"), help="rot mode: yaw x pitch")
     ap.add_argument("--focal", type=float, default=12000.0)
@@ -75,6 +76,13 @@ def main() -> None:
                     help="rot mode: MULTIPASS_BA level (1 = incremental; "
                          "the banded chain solver keeps n~500 tractable)")
     args = ap.parse_args()
+    if args.mode == "trans2d":
+        if tuple(args.size) == (1300, 560):
+            args.size = (2000, 1200)
+        if tuple(args.grid) == (62, 8):
+            args.grid = (25, 20)
+        run_trans2d(args)
+        return
     if args.mode == "rot":
         if tuple(args.size) == (1300, 560):
             args.size = (2200, 1400)   # rot default: narrow-fov tall views
@@ -263,5 +271,84 @@ def run_rot(args) -> None:
 
         write_rgb(args.out, out[::8, ::8])
         print(f"# wrote {args.out} (1/8 scale)", file=sys.stderr)
+
+
+def run_trans2d(args) -> None:
+    """2-D UAV-style survey at true gigapixel-class scale: a serpentine
+    COLS x ROWS grid of translated crops from one large flat texture,
+    stitched in TRANS mode (affine RANSAC + homography chaining — the
+    reference's UAV/translation configuration, BASELINE.md).  Unlike the
+    rotational config, the canvas is not capped at 2*pi*f, so ~500 views
+    of 2.4 Mpx at 35% overlap blend a >500 Mpx, >90%-valid canvas with
+    band-bounded device memory (beyond-HBM host stream, coded wire)."""
+    import jax
+    import numpy as np
+
+    from openpano_tpu import Config
+    from openpano_tpu.stitch.stitcher import stitch
+    from openpano_tpu.synth import procedural_scene_large
+    from openpano_tpu.utils import timer
+
+    cols, rows = args.grid
+    n = cols * rows
+    w, h = args.size
+    ov = args.overlap
+    sx = int(w * (1 - ov))
+    sy = int(h * (1 - ov))
+    rng = np.random.default_rng(3)
+    cache = f"/tmp/giga_t2d_{cols}x{rows}_{w}x{h}_{ov}.npy"
+    if os.path.exists(cache) and not args.no_cache:
+        views8 = np.ascontiguousarray(np.load(cache, mmap_mode="r"))
+    else:
+        t0 = time.time()
+        th = (rows - 1) * sy + h + 64
+        tw = (cols - 1) * sx + w + 64
+        print(f"# texture {th}x{tw} ...", file=sys.stderr)
+        tex = np.round(
+            procedural_scene_large(th, tw, seed=13) * 255).astype(np.uint8)
+        views8 = np.empty((n, h, w, 3), np.uint8)
+        k = 0
+        for r in range(rows):
+            cs = range(cols) if r % 2 == 0 else range(cols - 1, -1, -1)
+            for c in cs:
+                x0 = c * sx + int(rng.integers(0, 33))
+                y0 = r * sy + int(rng.integers(0, 33))
+                views8[k] = tex[y0:y0 + h, x0:x0 + w]
+                k += 1
+        del tex
+        if not args.no_cache:
+            np.save(cache, views8)
+        print(f"# views ready in {time.time()-t0:.0f}s", file=sys.stderr)
+
+    cfg = Config(
+        ESTIMATE_CAMERA=False, TRANS=True, ORDERED_INPUT=True,
+        MAX_OUTPUT_SIZE=79000,
+        MAX_KP_PER_IMAGE=2048, MAX_MATCHES_PER_PAIR=512,
+        MAX_CAND_PER_OCTAVE=4096, MAX_KP_PER_OCTAVE=2048,
+        MAX_DESC_PER_OCTAVE=2048,
+        SIFT_WORKING_SIZE=args.working_size,
+    )
+    timer.reset()
+    t0 = time.time()
+    out, valid = stitch(views8, cfg, key=jax.random.PRNGKey(0), output="u8")
+    dt = time.time() - t0
+    mp = out.shape[0] * out.shape[1] / 1e6
+    import resource
+
+    print(json.dumps({
+        "mode": "trans2d-gigapixel",
+        "images": n,
+        "grid": [cols, rows],
+        "canvas": [int(out.shape[1]), int(out.shape[0])],
+        "megapixels": round(mp, 1),
+        "valid_megapixels": round(mp * float(valid.mean()), 1),
+        "valid_frac": round(float(valid.mean()), 3),
+        "wall_s": round(dt, 3),
+        "img_per_s": round(n / dt, 2),
+        "peak_host_rss_gb": round(
+            resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6, 2),
+        "stage_s": {k: round(s, 3) for k, (_, s) in sorted(
+            timer.totals().items(), key=lambda kv: -kv[1][1]) if s > 0.01},
+    }))
 if __name__ == "__main__":
     main()
